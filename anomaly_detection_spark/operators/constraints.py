@@ -1,0 +1,106 @@
+"""Row-level constraint checks — the engine's re-imagination of the
+reference's ``check_ftr_vector`` record validation
+(/root/reference/src/algorithms/anomaly_detection.py:204-263) and
+``BorderCheck`` (/root/reference/src/algorithms/border_check.py:122-146)
+as pure Catalyst Column expressions.
+
+Every check yields an int status-code column (OK=1 / Warning=0 / Error=-1 /
+Undefined=2); a suite is a dict of named code columns combined by the
+caller. Zero Python in the hot path — all CASE WHEN chains inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.codes import (
+    ERROR_CODE,
+    OK_CODE,
+    UNDEFINED_CODE,
+    ladder_code,
+    normalized,
+)
+
+
+def not_null(col: Column) -> Column:
+    """Missing field -> Undefined, mirroring check_ftr_vector's None/absent
+    handling (anomaly_detection.py:206-215)."""
+    return F.when(col.isNull(), F.lit(UNDEFINED_CODE)).otherwise(F.lit(OK_CODE))
+
+
+def not_nan(col: Column) -> Column:
+    """NaN in the vector -> Undefined (anomaly_detection.py:233-236)."""
+    return (
+        F.when(col.isNull() | F.isnan(col), F.lit(UNDEFINED_CODE))
+        .otherwise(F.lit(OK_CODE))
+    )
+
+
+def matches_regex(col: Column, pattern: str) -> Column:
+    """Format constraint (e.g. 40-char lowercase-hex commit)."""
+    return (
+        F.when(col.isNull(), F.lit(UNDEFINED_CODE))
+        .when(col.rlike(pattern), F.lit(OK_CODE))
+        .otherwise(F.lit(ERROR_CODE))
+    )
+
+
+def value_in_set(col: Column, allowed: Sequence[str]) -> Column:
+    """Referential/domain constraint (small dim side — the allowed set is a
+    literal array, i.e. effectively broadcast)."""
+    return (
+        F.when(col.isNull(), F.lit(UNDEFINED_CODE))
+        .when(col.isin(list(allowed)), F.lit(OK_CODE))
+        .otherwise(F.lit(ERROR_CODE))
+    )
+
+
+def arity(col: Column, expected: int) -> Column:
+    """Vector-length constraint (anomaly_detection.py:218-222)."""
+    return (
+        F.when(col.isNull(), F.lit(UNDEFINED_CODE))
+        .when(F.size(col) == expected, F.lit(OK_CODE))
+        .otherwise(F.lit(UNDEFINED_CODE))
+    )
+
+
+def timestamp_valid(ts: Column, lo: str = "1970-01-01", hi: str = "2100-01-01") -> Column:
+    """Timestamp-validity constraint (anomaly_detection.py:247-261)."""
+    return (
+        F.when(ts.isNull(), F.lit(UNDEFINED_CODE))
+        .when((ts >= F.lit(lo).cast("timestamp")) & (ts < F.lit(hi).cast("timestamp")),
+              F.lit(OK_CODE))
+        .otherwise(F.lit(UNDEFINED_CODE))
+    )
+
+
+def border_check(
+    value: Column, LL: float, UL: float, warning_stages: Sequence[float]
+) -> Column:
+    """The reference's BorderCheck ladder as one Column expression."""
+    return ladder_code(normalized(value, LL, UL), warning_stages)
+
+
+def corpus_constraint_codes(df: DataFrame, *,
+                            len_LL: float = 10.0,
+                            len_UL: float = 50_000.0,
+                            warning_stages: Sequence[float] = (0.9,),
+                            allowed_langs: Sequence[str] = (
+                                "python", "java", "go", "js", "rust", "c", "md",
+                            )) -> DataFrame:
+    """The flagship check suite over the code corpus: one code column per
+    constraint plus sha256 row identity for violation parity."""
+    return df.select(
+        "row_id", "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.length("content").alias("content_len"),
+        not_null(F.col("path")).alias("c_path_not_null"),
+        matches_regex(F.col("commit"), r"^[0-9a-f]{40}$").alias("c_commit_format"),
+        value_in_set(F.col("lang"), allowed_langs).alias("c_lang_domain"),
+        border_check(F.length("content").cast("double"), len_LL, len_UL,
+                     warning_stages).alias("c_content_len_border"),
+    )
