@@ -88,7 +88,7 @@ def border_check(
 def corpus_constraint_codes(df: DataFrame, *,
                             len_LL: float = 10.0,
                             len_UL: float = 50_000.0,
-                            warning_stages: Sequence[float] = (0.9,),
+                            warning_stages: Sequence[float] = (0.98,),
                             allowed_langs: Sequence[str] = (
                                 "python", "java", "go", "js", "rust", "c", "md",
                             )) -> DataFrame:

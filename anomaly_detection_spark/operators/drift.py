@@ -1,0 +1,172 @@
+"""Distribution-drift checks (north rule: "distribution-drift checks — PSI
+and two-sample KS on t-digest sketches of content-length and lang
+frequency — mirroring the repo's windowed EMA/z-score semantics").
+
+The reference detects drift per record (EMA band, Welford z-score); the
+engine detects it per *slice* of a table: compare a slice's distribution
+against a baseline slice and border-check the divergence statistic with the
+same warning-ladder semantics (codes 1/0/-1).
+
+Everything heavy is distributed:
+  * PSI — binned histograms via a Catalyst width-bucket expression +
+    hash aggregate; only the (n_bins) counts reach the driver-side formula,
+    which itself runs inside a tiny DataFrame, not on the driver.
+  * categorical PSI — groupBy(lang) frequencies, full outer join of the
+    two slices' frequency tables.
+  * KS — per-slice t-digest sketches built with mapInPandas partials +
+    merge; the sup-|cdf difference| is evaluated over the union of
+    centroid locations (the digest's resolution).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.codes import ladder_code
+from anomaly_detection_spark.sketches import TDigest
+
+EPS = 1e-6  # PSI zero-bin smoothing (standard practice)
+
+
+def _bucket(value: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """width_bucket with clamped outer bins: bin 0 .. n_bins-1."""
+    w = (hi - lo) / n_bins
+    raw = F.floor((value - F.lit(lo)) / F.lit(w)).cast("int")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+
+def histogram(df: DataFrame, value: str, lo: float, hi: float,
+              n_bins: int) -> DataFrame:
+    """(bin, cnt) hash-aggregate histogram — one shuffle of n_bins rows."""
+    return (
+        df.select(_bucket(F.col(value).cast("double"), lo, hi, n_bins).alias("bin"))
+        .where(F.col("bin").isNotNull())
+        .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def psi_numeric(
+    base: DataFrame, cur: DataFrame, value: str, *,
+    lo: float, hi: float, n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two slices of a numeric column:
+    PSI = sum_b (p_b - q_b) * ln(p_b / q_b) over fixed equi-width bins.
+    Returns a 1-row DataFrame (psi double)."""
+    hb = histogram(base, value, lo, hi, n_bins).withColumnRenamed("cnt", "cb")
+    hc = histogram(cur, value, lo, hi, n_bins).withColumnRenamed("cnt", "cc")
+    joined = hb.join(hc, "bin", "full_outer").fillna(0, subset=["cb", "cc"])
+    p = F.col("cb") / F.sum("cb").over(WindowAll())
+    q = F.col("cc") / F.sum("cc").over(WindowAll())
+    p, q = F.greatest(p, F.lit(EPS)), F.greatest(q, F.lit(EPS))
+    return joined.select(((p - q) * F.log(p / q)).alias("term")).agg(
+        F.sum("term").alias("psi")
+    )
+
+
+def WindowAll():
+    from pyspark.sql import Window
+    return Window.partitionBy()
+
+
+def psi_categorical(base: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """PSI over a categorical column's frequency table (e.g. lang mix
+    shift). Full-outer join of the two frequency tables; unseen categories
+    smoothed with EPS."""
+    fb = base.groupBy(F.col(col).alias("cat")).agg(F.count(F.lit(1)).alias("cb"))
+    fc = cur.groupBy(F.col(col).alias("cat")).agg(F.count(F.lit(1)).alias("cc"))
+    joined = fb.join(fc, "cat", "full_outer").fillna(0, subset=["cb", "cc"])
+    p = F.greatest(F.col("cb") / F.sum("cb").over(WindowAll()), F.lit(EPS))
+    q = F.greatest(F.col("cc") / F.sum("cc").over(WindowAll()), F.lit(EPS))
+    return joined.select(((p - q) * F.log(p / q)).alias("term")).agg(
+        F.sum("term").alias("psi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-digest construction (distributed) + two-sample KS
+# ---------------------------------------------------------------------------
+
+def tdigest_of(df: DataFrame, value: str, *, delta: int = 200) -> TDigest:
+    """Per-partition digests via mapInPandas, merged driver-side. Driver
+    traffic: O(partitions x delta) centroids."""
+
+    def partials(batches):
+        d = TDigest(delta)
+        any_rows = False
+        for pdf in batches:
+            v = pdf[value].dropna().to_numpy(dtype=np.float64)
+            if v.size:
+                d = d.merge(TDigest.from_values(v, delta))
+                any_rows = True
+        if any_rows:
+            m, w = d.to_arrays()
+            yield pd.DataFrame({"means": [m.tolist()], "weights": [w.tolist()]})
+
+    rows = df.select(value).mapInPandas(
+        partials, schema="means array<double>, weights array<double>"
+    ).collect()
+    out = TDigest(delta)
+    for r in rows:
+        out = out.merge(TDigest.from_arrays(r["means"], r["weights"], delta))
+    return out
+
+
+def ks_from_digests(a: TDigest, b: TDigest) -> float:
+    """Two-sample Kolmogorov–Smirnov statistic sup_x |F_a(x) - F_b(x)|
+    evaluated on the union of both digests' centroid means (the sketches'
+    native resolution)."""
+    xs = np.unique(np.concatenate([a.means, b.means]))
+    if xs.size == 0:
+        return float("nan")
+    return float(max(abs(a.cdf(float(x)) - b.cdf(float(x))) for x in xs))
+
+
+def ks_check(
+    base: DataFrame, cur: DataFrame, value: str, *,
+    UL: float = 0.2, LL: float | None = None,
+    warning_stages: Sequence[float] = (0.5,), delta: int = 200,
+):
+    """KS drift verdict with the reference's border-ladder semantics applied
+    to the KS statistic; returns (ks, code). KS is one-sided (0 is
+    perfect), so the default band is symmetric (LL = -UL): vn = ks/UL and
+    only the upper ladder can fire."""
+    if LL is None:
+        LL = -UL
+    ks = ks_from_digests(tdigest_of(base, value, delta=delta),
+                         tdigest_of(cur, value, delta=delta))
+    vn = 2.0 * (ks - (UL + LL) / 2.0) / (UL - LL)
+    stages = sorted(warning_stages)
+    if vn > 1.0 or vn < -1.0:
+        code = -1
+    elif stages and abs(vn) > stages[0]:
+        code = 0
+    else:
+        code = 1
+    return ks, code
+
+
+def partition_stat_drift(
+    df: DataFrame, partition_col: str, value: str, *,
+    N: int, X: float, out: str = "code",
+) -> DataFrame:
+    """The reference's windowed Welford z-score applied to the SEQUENCE of
+    per-partition means (partition = the time axis, per SURVEY.md §7.2.6):
+    partition p's mean is checked against mean±X·stddev of the previous N
+    partitions' means. First N partitions are Undefined. One tiny
+    aggregate row per partition — window runs on O(partitions) rows."""
+    from anomaly_detection_spark.operators.windowed import welford_windowed
+
+    per_part = df.groupBy(partition_col).agg(
+        F.avg(F.col(value).cast("double")).alias("part_mean"),
+        F.count(F.lit(1)).alias("part_rows"),
+    )
+    return welford_windowed(
+        per_part, keys=F.lit(1), order=partition_col, value="part_mean",
+        N=N, X=X, out=out,
+    )

@@ -1,0 +1,162 @@
+"""Multivariate outlier check — a pure-numpy Isolation Forest fitted per
+group inside ``applyInPandas`` (the container has no sklearn; the algorithm
+is the public Liu/Ting/Zhou iForest, re-implemented vectorized).
+
+Reference semantics being re-imagined
+(/root/reference/src/algorithms/isolation_forest.py:140-177): score each
+feature vector with a forest trained on a trailing sample; prediction -1
+-> Error. Here: each partition-group (e.g. repo bucket) trains its own
+seeded forest on its rows and flags rows whose anomaly score exceeds the
+threshold — a per-group multivariate outlier constraint. Training is
+whole-group numpy (no per-row Python); scoring descends all trees with
+vectorized node masks.
+
+At 100 TB: groups are bounded (a repo bucket), training subsamples are
+capped at ``max_train`` rows, and the shuffle is one hash-partition on the
+group key — the same layout every other per-group operator uses.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _harmonic(n: float) -> float:
+    return np.log(n) + 0.5772156649015329
+
+
+def _c(n: float) -> float:
+    """Average unsuccessful-BST path length c(n) — the iForest normalizer."""
+    if n <= 1.0:
+        return 0.0
+    return 2.0 * _harmonic(n - 1.0) - 2.0 * (n - 1.0) / n
+
+
+class IsolationForest:
+    """Array-encoded forest. Each tree: feature[i], threshold[i],
+    left[i], right[i] (node indices; -1 => leaf), size[i] (training rows
+    that reached the node, for path-length correction)."""
+
+    def __init__(self, n_trees: int = 100, subsample: int = 256, seed: int = 0):
+        self.n_trees = n_trees
+        self.subsample = subsample
+        self.seed = seed
+        self.trees: list[dict] = []
+        self._c_norm = 1.0
+
+    def fit(self, X: np.ndarray) -> "IsolationForest":
+        rng = np.random.default_rng(self.seed)
+        n = len(X)
+        psi = min(self.subsample, n)
+        self._c_norm = _c(float(psi))
+        max_depth = int(np.ceil(np.log2(max(psi, 2))))
+        self.trees = []
+        for _ in range(self.n_trees):
+            idx = rng.choice(n, size=psi, replace=False)
+            tree = {"feature": [], "threshold": [], "left": [], "right": [],
+                    "size": []}
+            self._build(X[idx], 0, max_depth, rng, tree)
+            self.trees.append({k: np.asarray(v) for k, v in tree.items()})
+        return self
+
+    def _build(self, X: np.ndarray, depth: int, max_depth: int, rng, tree) -> int:
+        node = len(tree["feature"])
+        for k in tree:
+            tree[k].append(0)
+        tree["size"][node] = len(X)
+        spans = X.max(axis=0) - X.min(axis=0) if len(X) else np.zeros(1)
+        splittable = np.flatnonzero(spans > 0)
+        if depth >= max_depth or len(X) <= 1 or splittable.size == 0:
+            tree["feature"][node] = -1
+            tree["left"][node] = -1
+            tree["right"][node] = -1
+            return node
+        f = int(rng.choice(splittable))
+        lo, hi = X[:, f].min(), X[:, f].max()
+        t = float(rng.uniform(lo, hi))
+        mask = X[:, f] < t
+        tree["feature"][node] = f
+        tree["threshold"][node] = t
+        tree["left"][node] = self._build(X[mask], depth + 1, max_depth, rng, tree)
+        tree["right"][node] = self._build(X[~mask], depth + 1, max_depth, rng, tree)
+        return node
+
+    def score(self, X: np.ndarray) -> np.ndarray:
+        """Anomaly score in (0, 1): s = 2^(-E[h(x)]/c(psi)); > ~0.5 means
+        shorter-than-average isolation path (outlier). Vectorized descent:
+        all rows walk each tree level-synchronously via index arrays."""
+        n = len(X)
+        if n == 0:
+            return np.empty(0)
+        depths = np.zeros(n, dtype=np.float64)
+        for tree in self.trees:
+            node = np.zeros(n, dtype=np.int64)
+            depth = np.zeros(n, dtype=np.float64)
+            active = tree["feature"][node] != -1
+            while active.any():
+                f = tree["feature"][node[active]]
+                t = tree["threshold"][node[active]]
+                go_left = X[active, f] < t
+                nxt = np.where(go_left, tree["left"][node[active]],
+                               tree["right"][node[active]])
+                node[active] = nxt
+                depth[active] += 1.0
+                active = tree["feature"][node] != -1
+            leaf_sizes = tree["size"][node].astype(np.float64)
+            depth += np.array([_c(s) for s in np.clip(leaf_sizes, 1.0, None)])
+            depths += depth
+        avg = depths / max(len(self.trees), 1)
+        return np.power(2.0, -avg / max(self._c_norm, 1e-12))
+
+
+def iforest_check(
+    df: DataFrame, keys, features: Sequence[str], *,
+    n_trees: int = 100, subsample: int = 256, max_train: int = 20_000,
+    score_threshold: float = 0.6, contamination: float | None = None,
+    seed: int = 0, extra_cols: Sequence[str] = (), out: str = "code",
+) -> DataFrame:
+    """Per-group multivariate outlier verdict: fit a seeded forest on up to
+    ``max_train`` of the group's rows, score every row, Error(-1) iff
+    score > threshold, else OK(1). The threshold is ``score_threshold``,
+    or — when ``contamination`` is set (sklearn-style) — the group's
+    (1-contamination) score quantile, never below score_threshold's floor
+    of 0.5 (so a clean group flags nothing pathological). Groups smaller
+    than 8 rows are Undefined(2) — not enough mass to define 'normal'."""
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    cols = list(keys_l) + list(extra_cols) + list(features)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = pdf[list(features)].to_numpy(dtype=np.float64)
+        out_pdf = pdf[list(keys_l) + list(extra_cols)].copy()
+        if len(X) < 8:
+            out_pdf["score"] = 0.0
+            out_pdf[out] = np.int32(2)
+            return out_pdf
+        train = X if len(X) <= max_train else X[
+            np.random.default_rng(seed).choice(len(X), max_train, replace=False)
+        ]
+        forest = IsolationForest(n_trees, subsample, seed).fit(train)
+        s = forest.score(X)
+        thr = score_threshold
+        if contamination is not None:
+            thr = max(float(np.quantile(s, 1.0 - contamination)), 0.5)
+        out_pdf["score"] = s
+        out_pdf[out] = np.where(s > thr, -1, 1).astype(np.int32)
+        return out_pdf
+
+    in_schema = df.select(*(list(keys_l) + list(extra_cols))).schema
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema
+    ) + f", score double, {out} int"
+    return (
+        df.select(*cols)
+        .repartition(*[F.col(k) for k in keys_l])
+        .groupBy(*keys_l)
+        .applyInPandas(fn, schema=schema)
+    )
