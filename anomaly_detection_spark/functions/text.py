@@ -1,0 +1,184 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+token counting, quality scoring, n-gram language ID, and rolling-hash
+document fingerprinting.
+
+Everything here is a pure Catalyst Column expression (whole-stage
+codegen'd, pushdown-friendly); each builder has an ANSI-SQL twin in
+``*_sql`` form so the DuckDB oracle can run the byte-identical formula.
+Counting substrings uses the replace-length trick
+(len(s) - len(replace(s, kw, ''))) / len(kw) — identical semantics in
+Spark SQL and DuckDB, no engine-specific regex dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny public stopword seed lists (top function words per language).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " ist ", " nicht "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " la ", " que ", " los ", " es "],
+    "it": [" il ", " che ", " di ", " la ", " per "],
+    "pt": [" o ", " que ", " do ", " da ", " em "],
+}
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace tokens: size of split on runs of whitespace, empty string
+    -> 0 (split('') yields one empty token; filter it)."""
+    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != ""))
+
+
+def ws_token_count_sql(col: str) -> str:
+    return (f"len(list_filter(string_split_regex(trim({col}), '\\s+'), "
+            f"t -> t <> ''))")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish upper bound: word tokens plus one extra token per 6 chars of
+    long words (a public rule-of-thumb approximation of subword splits;
+    ~= GPT-style 'one token per ~4 chars of English' for code-mixed text)."""
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    extra = F.aggregate(
+        words, F.lit(0),
+        lambda acc, w: acc + F.floor(F.length(w) / 6).cast("int"),
+    )
+    return ws_token_count(text) + extra
+
+
+def bpe_ish_token_count_sql(col: str) -> str:
+    return (
+        f"{ws_token_count_sql(col)} + list_sum(list_transform("
+        f"list_filter(string_split_regex(trim({col}), '\\s+'), t -> t <> ''),"
+        f" w -> CAST(floor(len(w) / 6) AS INT)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# counting helper (replace-length trick — identical in Spark SQL & DuckDB)
+# ---------------------------------------------------------------------------
+
+def count_occurrences(text: Column, needle: str) -> Column:
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def count_occurrences_sql(col: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return (f"CAST((length({col}) - length(replace({col}, '{esc}', ''))) "
+            f"/ {len(needle)} AS INT)")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Heuristic doc-quality signals (Gopher/C4-style public rules):
+    length, mean word length, symbol ratio, stopword hit rate, uppercase
+    ratio — each a plain expression."""
+    n = F.length(text)
+    words = ws_token_count(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    sym = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    stop_hits = None
+    for kw in LANG_MARKERS["en"]:
+        c = count_occurrences(F.lower(text), kw)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    return {
+        "n_chars": n,
+        "n_words": words,
+        "mean_word_len": (alpha / F.greatest(words, F.lit(1))).cast("double"),
+        "symbol_ratio": (sym / F.greatest(n, F.lit(1))).cast("double"),
+        "upper_ratio": (upper / F.greatest(alpha, F.lit(1))).cast("double"),
+        "stopword_hits": stop_hits.cast("int"),
+    }
+
+
+def quality_score(text: Column, *, min_chars: int = 50,
+                  max_symbol_ratio: float = 0.3) -> Column:
+    """Composite [0,1] quality score: penalize too-short docs, symbol soup,
+    and all-caps; reward stopword presence (natural-language likelihood)."""
+    f = quality_features(text)
+    len_ok = F.least(f["n_chars"] / F.lit(float(min_chars)), F.lit(1.0))
+    sym_pen = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - f["symbol_ratio"] / F.lit(max_symbol_ratio),
+    )
+    caps_pen = F.lit(1.0) - F.least(f["upper_ratio"], F.lit(1.0))
+    stop_bonus = F.least(f["stopword_hits"] / F.greatest(
+        f["n_words"] / 10.0, F.lit(1.0)), F.lit(1.0))
+    return ((len_ok + sym_pen + caps_pen + stop_bonus) / 4.0).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# language ID (marker-count heuristic)
+# ---------------------------------------------------------------------------
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language marker-hit counts; 'und' when no marker
+    fires. Deterministic tie-break: language order in LANG_MARKERS."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = []
+    for lang, kws in LANG_MARKERS.items():
+        s = None
+        for kw in kws:
+            c = count_occurrences(padded, kw)
+            s = c if s is None else s + c
+        scores.append((lang, s))
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, s in reversed(scores):  # earlier langs win ties
+        expr = F.when(s == best_score, F.lit(lang)).otherwise(expr)
+    return F.when(best_score <= 0, F.lit("und")).otherwise(expr)
+
+
+def lang_id_sql(col: str) -> str:
+    padded = f"(' ' || lower({col}) || ' ')"
+    score_sqls = {
+        lang: " + ".join(count_occurrences_sql(padded, kw) for kw in kws)
+        for lang, kws in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(f"({s})" for s in score_sqls.values()) + ")"
+    whens = " ".join(
+        f"WHEN ({score_sqls[lang]}) = {best} THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return f"CASE WHEN {best} <= 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash fingerprint
+# ---------------------------------------------------------------------------
+
+def fingerprint(text: Column, *, k: int = 8) -> Column:
+    """Document fingerprint = min over rolling k-gram hashes (the 'winnowing
+    lite' min-hash of character shingles): order-invariant under
+    concatenation shifts, cheap to compare for near-identity. Implemented
+    with higher-order functions — sequence over start offsets, hash each
+    k-gram, array_min. Docs shorter than k hash whole."""
+    n = F.length(text)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(starts, lambda i: F.xxhash64(F.substring(text, i, k)))
+    return F.when(
+        text.isNull() | (n <= 0), F.lit(None).cast("bigint")
+    ).otherwise(F.array_min(grams))
+
+
+def char_shingles(text: Column, *, k: int = 8) -> Column:
+    """Distinct character k-shingles as an array column (MinHash input)."""
+    n = F.length(text)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(starts, lambda i: F.substring(text, i, k)))
+    )
