@@ -163,6 +163,13 @@ def percent_score(
     max(num_in_interval, rows_in_window). Event-time range frame over
     integer epoch seconds (strict > now-interval == >= now-interval+1)."""
     ts = F.col(ts_seconds) if isinstance(ts_seconds, str) else ts_seconds
+    # event time as epoch seconds: numeric columns cast directly; timestamp
+    # columns need unix_timestamp (ANSI mode forbids timestamp->long casts)
+    try:
+        df.select(ts.cast("long")).schema  # analysis-only probe
+        tsec = ts.cast("long")
+    except Exception:
+        tsec = F.unix_timestamp(ts)
     per_row = sum(
         F.when(F.col(c) == 0, 1.0).when(F.col(c) == -1, 2.0).otherwise(0.0)
         for c in codes
@@ -170,7 +177,7 @@ def percent_score(
     keys = keys if isinstance(keys, (list, tuple)) else [keys]
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts.cast("long"))
+        .orderBy(tsec)
         .rangeBetween(-(int(interval) - 1), 0)
     )
     dfx = df.withColumn("_ps", per_row)

@@ -1,0 +1,959 @@
+"""Query registry: every implemented operator exposed as a named query
+over the driver testdata tables, each (where SQL-expressible) with an
+ANSI-SQL oracle twin for DuckDB.
+
+Contract (see /root/repo/__spark_entry__.py): a query is
+``fn(spark, sf_dir) -> DataFrame``; its oracle is a SQL string run by
+DuckDB against the same parquet registered as views. Column names are
+aliased identically on both sides; doubles are rounded to 6 decimals on
+both sides so order-insensitive value hashing matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.codes import ladder_code, ladder_code_sql
+from anomaly_detection_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+EVENT_DOMAIN = ["click", "view", "purchase", "signup"]  # 'error' = violation
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+_R6 = lambda c, n="": F.round(c, 6)  # noqa: E731
+
+_W_USER = "PARTITION BY user_id ORDER BY ts"
+
+
+# ---------------------------------------------------------------------------
+# 1. flagship pricing summary (classic scan→filter→agg shape)
+# ---------------------------------------------------------------------------
+
+def q_flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_FLAGSHIP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2-4. row-level constraint suites
+# ---------------------------------------------------------------------------
+
+def q_constraint_suite_documents(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.constraints import (
+        border_check, not_null, value_in_set,
+    )
+
+    d = _docs(spark, sf_dir)
+    langs = ["en", "de", "fr", "es", "zh"]
+    return d.select(
+        "doc_id",
+        not_null(F.col("text")).alias("c_text_not_null"),
+        value_in_set(F.col("lang"), langs).alias("c_lang_domain"),
+        border_check(F.col("n_chars").cast("double"), 20.0, 2000.0, (0.9,))
+        .alias("c_len_border"),
+    )
+
+
+_VN_NCHARS = "(2.0 * (CAST(n_chars AS DOUBLE) - 1010.0) / 1980.0)"
+SQL_CONSTRAINT_DOCS = f"""
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN 2 ELSE 1 END AS c_text_not_null,
+       CASE WHEN lang IS NULL THEN 2
+            WHEN lang IN ('en','de','fr','es','zh') THEN 1 ELSE -1 END AS c_lang_domain,
+       {ladder_code_sql(_VN_NCHARS, (0.9,))} AS c_len_border
+FROM documents
+"""
+
+
+def q_constraint_check_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.constraints import (
+        not_nan, timestamp_valid, value_in_set,
+    )
+
+    e = _events(spark, sf_dir)
+    return (
+        e.select(
+            "event_type",
+            not_nan(F.col("value")).alias("c_value"),
+            timestamp_valid(F.col("ts")).alias("c_ts"),
+            value_in_set(F.col("event_type"), EVENT_DOMAIN).alias("c_domain"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("c_value") != 1).cast("int")).alias("bad_value"),
+            F.sum((F.col("c_ts") != 1).cast("int")).alias("bad_ts"),
+            F.sum((F.col("c_domain") == -1).cast("int")).alias("domain_err"),
+        )
+    )
+
+
+SQL_CONSTRAINT_EVENTS = """
+SELECT event_type, count(*) AS n,
+       sum(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END) AS bad_value,
+       sum(CASE WHEN ts IS NULL OR ts < TIMESTAMP '1970-01-01'
+                 OR ts >= TIMESTAMP '2100-01-01' THEN 1 ELSE 0 END) AS bad_ts,
+       sum(CASE WHEN event_type IS NULL THEN 0
+                WHEN event_type IN ('click','view','purchase','signup') THEN 0
+                ELSE 1 END) AS domain_err
+FROM events GROUP BY event_type
+"""
+
+
+def q_border_summary_lineitem(spark, sf_dir) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    vn = 2.0 * (F.col("l_extendedprice") - (90000.0 + 1000.0) / 2.0) / (90000.0 - 1000.0)
+    return (
+        li.select("l_returnflag", ladder_code(vn, (0.8,)).alias("code"))
+        .groupBy("l_returnflag", "code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_VN_EP = "(2.0 * (l_extendedprice - 45500.0) / 89000.0)"
+SQL_BORDER_LINEITEM = f"""
+SELECT l_returnflag, {ladder_code_sql(_VN_EP, (0.8,))} AS code, count(*) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5-13. windowed / sequential checks on the events stream
+# ---------------------------------------------------------------------------
+
+def q_welford_windowed_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.windowed import welford_windowed
+
+    out = welford_windowed(
+        _events(spark, sf_dir), "user_id", "ts", "value", N=10, X=3.0,
+        warning_stages=(0.9,),
+    )
+    return out.select("event_id", "code")
+
+
+SQL_WELFORD_WINDOWED = f"""
+WITH w AS (
+  SELECT event_id,
+         row_number() OVER ({_W_USER}) AS rn,
+         avg(value) OVER ({_W_USER} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS m,
+         stddev_samp(value) OVER ({_W_USER} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS s,
+         value
+  FROM events)
+SELECT event_id,
+       CASE WHEN rn <= 10 THEN 2
+            ELSE {ladder_code_sql("((value - m) / (3.0 * s))", (0.9,))} END AS code
+FROM w
+"""
+
+
+def q_welford_streaming_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.windowed import welford_streaming
+
+    out = welford_streaming(
+        _events(spark, sf_dir), "user_id", "ts", "value", X=3.0,
+        warning_stages=(0.9,),
+    )
+    return out.select("event_id", "code")
+
+
+SQL_WELFORD_STREAMING = f"""
+WITH w AS (
+  SELECT event_id,
+         row_number() OVER ({_W_USER}) AS rn,
+         avg(value) OVER ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m,
+         stddev_pop(value) OVER ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s,
+         value
+  FROM events)
+SELECT event_id,
+       CASE WHEN rn <= 2 THEN 2
+            ELSE {ladder_code_sql("((value - m) / (3.0 * s))", (0.9,))} END AS code
+FROM w
+"""
+
+
+def q_percentile_check_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.windowed import percentile_check
+
+    out = percentile_check(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        buff_size=20, percentile=95.0,
+    )
+    return out.select("event_id", "code")
+
+
+SQL_PERCENTILE = f"""
+WITH w AS (
+  SELECT event_id, value,
+         count(value) OVER ({_W_USER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS c,
+         quantile_cont(value, 0.95) OVER ({_W_USER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS hi,
+         quantile_cont(value, 0.05) OVER ({_W_USER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lo
+  FROM events)
+SELECT event_id,
+       CASE WHEN c < 20 THEN 2 WHEN value > hi OR value < lo THEN -1 ELSE 1 END AS code
+FROM w
+"""
+
+
+def q_hampel_check_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.windowed import hampel
+
+    out = hampel(
+        _events(spark, sf_dir), "user_id", "ts", "value", W=3,
+        suggested="suggested",
+    )
+    return out.select("event_id", "code", F.round("suggested", 6).alias("suggested"))
+
+
+SQL_HAMPEL = f"""
+WITH w AS (
+  SELECT event_id, value,
+         list(value) OVER ({_W_USER} ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS fr
+  FROM events),
+m AS (
+  SELECT event_id, value, len(fr) AS n,
+         list_sort(fr)[4] AS med,
+         list_sort(list_transform(fr, e -> abs(e - list_sort(fr)[4])))[4] AS mad
+  FROM w)
+SELECT event_id,
+       CASE WHEN n < 7 THEN 2
+            WHEN abs(value - med) > 3.0 * 1.4826 * mad THEN -1 ELSE 1 END AS code,
+       round(CASE WHEN n = 7 AND abs(value - med) > 3.0 * 1.4826 * mad
+                  THEN med ELSE value END, 6) AS suggested
+FROM m
+"""
+
+
+def q_linear_fit_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.windowed import linear_fit_check
+
+    out = linear_fit_check(
+        _events(spark, sf_dir), "user_id", "ts", "value", N=10,
+        LL=-50.0, UL=50.0, warning_stages=(0.5,),
+    )
+    return out.select("event_id", "code")
+
+
+SQL_LINEAR_FIT = f"""
+WITH x AS (
+  SELECT event_id, value, user_id, ts,
+         CAST(row_number() OVER ({_W_USER}) AS DOUBLE) AS rn
+  FROM events),
+w AS (
+  SELECT event_id, rn,
+         regr_slope(value, rn) OVER ({_W_USER} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS slope
+  FROM x)
+SELECT event_id,
+       CASE WHEN rn < 10 THEN 2
+            ELSE {ladder_code_sql("(2.0 * (slope - 0.0) / 100.0)", (0.5,))} END AS code
+FROM w
+"""
+
+
+def q_ema_check_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.sequential import ema_check
+
+    out = ema_check(
+        _events(spark, sf_dir), "user_id", "ts", "value", N=9,
+        LL=0.0, UL=400.0, warning_stages=(0.9,), extra_cols=("event_id",),
+    )
+    return out.select("event_id", F.round("ema", 6).alias("ema"), "code")
+
+
+SQL_EMA = f"""
+WITH w AS (
+  SELECT event_id,
+         list_reduce(list(CAST(value AS DOUBLE)) OVER
+           ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           (acc, x) -> x * 0.2 + acc * 0.8) AS ema
+  FROM events)
+SELECT event_id, round(ema, 6) AS ema,
+       {ladder_code_sql("(2.0 * (ema - 200.0) / 400.0)", (0.9,))} AS code
+FROM w
+"""
+
+
+def q_macd_check_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.sequential import macd_check
+
+    out = macd_check(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        period1=5, period2=20, LL=-50.0, UL=50.0, warning_stages=(0.5,),
+        extra_cols=("event_id",),
+    )
+    return out.select("event_id", F.round("macd", 6).alias("macd"), "code")
+
+
+_A1 = 2.0 / 6.0
+_A2 = 2.0 / 21.0
+SQL_MACD = f"""
+WITH w AS (
+  SELECT event_id,
+         list_reduce(list(CAST(value AS DOUBLE)) OVER
+           ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           (acc, x) -> x * {_A1} + acc * {1.0 - _A1}) AS e1,
+         list_reduce(list(CAST(value AS DOUBLE)) OVER
+           ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           (acc, x) -> x * {_A2} + acc * {1.0 - _A2}) AS e2
+  FROM events)
+SELECT event_id, round(e1 - e2, 6) AS macd,
+       {ladder_code_sql("(2.0 * ((e1 - e2) - 0.0) / 100.0)", (0.5,))} AS code
+FROM w
+"""
+
+
+def q_cumulative_check_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.sequential import cumulative_check
+
+    out = cumulative_check(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        averaging=5, decay=0.01, warning_stages=(0.5,),
+        extra_cols=("event_id",),
+    )
+    return out.select("event_id", F.round("cusum", 6).alias("cusum"), "code")
+
+
+SQL_CUMULATIVE = f"""
+WITH r AS (
+  SELECT event_id, user_id, ts,
+         avg(value) OVER ({_W_USER} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rm
+  FROM events),
+d AS (
+  SELECT event_id, user_id, ts,
+         (rm - coalesce(lag(rm) OVER ({_W_USER}), 0.0)) / abs(rm) AS delta
+  FROM r),
+c AS (
+  SELECT event_id,
+         list_reduce(
+           list_prepend(0.0, list(delta) OVER
+             ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           (acc, x) -> (acc + x) * 0.99) AS cusum
+  FROM d)
+SELECT event_id, round(cusum, 6) AS cusum,
+       {ladder_code_sql("cusum", (0.5,))} AS code
+FROM c
+"""
+
+
+def q_percent_score_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.windowed import (
+        percent_score, welford_windowed,
+    )
+
+    e = welford_windowed(
+        _events(spark, sf_dir), "user_id", "ts", "value", N=10, X=2.0,
+        warning_stages=(0.9,),
+    )
+    out = percent_score(
+        e, "user_id", F.col("ts"), ["code"], interval=86400, num_in_interval=5,
+    )
+    return out.select("event_id", F.round("score", 6).alias("score"))
+
+
+SQL_PERCENT_SCORE = f"""
+WITH w AS (
+  SELECT event_id, user_id, ts,
+         row_number() OVER ({_W_USER}) AS rn,
+         avg(value) OVER ({_W_USER} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS m,
+         stddev_samp(value) OVER ({_W_USER} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS s,
+         value
+  FROM events),
+codes AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         CASE WHEN rn <= 10 THEN 2
+              ELSE {ladder_code_sql("((value - m) / (2.0 * s))", (0.9,))} END AS code
+  FROM w),
+scored AS (
+  SELECT event_id, user_id, tsec,
+         (CASE WHEN code = 0 THEN 1.0 WHEN code = -1 THEN 2.0 ELSE 0.0 END) / 2.0 AS ps
+  FROM codes)
+SELECT event_id,
+       round(sum(ps) OVER (PARTITION BY user_id ORDER BY tsec
+                           RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+             / greatest(5.0, CAST(count(ps) OVER (PARTITION BY user_id ORDER BY tsec
+                           RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+       AS score
+FROM scored
+"""
+
+
+def q_combination_and_or_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.combination import combine_and, combine_or
+    from anomaly_detection_spark.operators.windowed import welford_windowed
+
+    vn = 2.0 * (F.col("value") - 250.0) / 500.0
+    e = welford_windowed(
+        _events(spark, sf_dir), "user_id", "ts", "value", N=10, X=3.0,
+        warning_stages=(0.9,), out="c_w",
+    ).withColumn("c_b", ladder_code(vn, (0.8,)))
+    return e.select(
+        "event_id",
+        combine_and(["c_w", "c_b"]).alias("code_and"),
+        combine_or(["c_w", "c_b"]).alias("code_or"),
+    )
+
+
+SQL_COMBINATION = f"""
+WITH w AS (
+  SELECT event_id, value,
+         row_number() OVER ({_W_USER}) AS rn,
+         avg(value) OVER ({_W_USER} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS m,
+         stddev_samp(value) OVER ({_W_USER} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS s
+  FROM events),
+codes AS (
+  SELECT event_id,
+         CASE WHEN rn <= 10 THEN 2
+              ELSE {ladder_code_sql("((value - m) / (3.0 * s))", (0.9,))} END AS cw,
+         {ladder_code_sql("(2.0 * (value - 250.0) / 500.0)", (0.8,))} AS cb
+  FROM w),
+masked AS (
+  SELECT event_id, cw, cb,
+         greatest(CASE WHEN cw = 2 THEN -2 ELSE cw END,
+                  CASE WHEN cb = 2 THEN -2 ELSE cb END) AS mx
+  FROM codes)
+SELECT event_id,
+       CASE WHEN mx = -2 THEN 2 ELSE mx END AS code_and,
+       least(cw, cb) AS code_or
+FROM masked
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14-19. stats / integrity
+# ---------------------------------------------------------------------------
+
+def q_column_stats_documents(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(F.stddev_samp("n_chars"), 6).alias("sd_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_COLUMN_STATS_DOCS = """
+SELECT lang, count(*) AS n,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null,
+       count(DISTINCT source) AS n_sources,
+       round(avg(n_chars), 6) AS mean_chars,
+       round(stddev_samp(n_chars), 6) AS sd_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_salted_stats_lineitem(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.stats import column_profile_salted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = column_profile_salted(li, "l_extendedprice", ["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n", "n_null",
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev_samp", 6).alias("sd"),
+        F.round("min", 6).alias("min"), F.round("max", 6).alias("max"),
+    )
+
+
+SQL_SALTED_STATS = """
+SELECT l_returnflag, count(*) AS n,
+       sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS n_null,
+       round(avg(l_extendedprice), 6) AS mean,
+       round(stddev_samp(l_extendedprice), 6) AS sd,
+       round(min(l_extendedprice), 6) AS min,
+       round(max(l_extendedprice), 6) AS max
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_welford_profile_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.stats import welford_profile
+
+    out = welford_profile(_events(spark, sf_dir), "value", "event_type")
+    return out.select(
+        F.col("part_key").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev_samp", 6).alias("sd"),
+        F.round("min", 6).alias("min"), F.round("max", 6).alias("max"),
+    )
+
+
+SQL_WELFORD_PROFILE = """
+SELECT event_type, count(*) AS n,
+       round(avg(value), 6) AS mean,
+       round(stddev_samp(value), 6) AS sd,
+       round(min(value), 6) AS min, round(max(value), 6) AS max
+FROM events GROUP BY event_type
+"""
+
+
+def q_duplicate_orderkeys(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.integrity import duplicate_keys
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_orderkey"])
+
+
+SQL_DUP_ORDERKEYS = """
+SELECT l_orderkey, count(*) AS dup_count
+FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+"""
+
+
+def q_referential_orders_customer(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.integrity import referential_violations
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return referential_violations(o, "o_custkey", c, "c_custkey").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+SQL_REF_ORDERS = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IS NULL
+   OR o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+"""
+
+
+def q_referential_lineitem_part_bloom(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.integrity import (
+        referential_violations_bloom,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return referential_violations_bloom(
+        spark, li, "l_partkey", p, "p_partkey"
+    ).select("l_orderkey", "l_linenumber", "l_partkey")
+
+
+SQL_REF_LINEITEM = """
+SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+WHERE l_partkey IS NULL
+   OR l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)
+"""
+
+
+def q_exact_duplicates_documents(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.functions.dedup import exact_duplicates
+
+    d = _docs(spark, sf_dir)
+    planted = d.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    return exact_duplicates(d.unionByName(planted), "doc_id", "text").select(
+        "digest", "n_copies", "keep_id"
+    )
+
+
+SQL_EXACT_DUP_DOCS = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 5)
+SELECT sha256(text) AS digest, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM u GROUP BY sha256(text) HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 20-24. text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_counts_documents(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.functions.text import (
+        bpe_ish_token_count, ws_token_count,
+    )
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+from anomaly_detection_spark.functions.text import (  # noqa: E402
+    bpe_ish_token_count_sql, lang_id_sql, ws_token_count_sql,
+)
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       {ws_token_count_sql('text')} AS ws_tokens,
+       coalesce({bpe_ish_token_count_sql('text')}, 0) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_lang_id_documents(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.functions.text import lang_id
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+SQL_LANG_ID = f"SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents"
+
+
+def q_quality_documents(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.functions.text import quality_features, quality_score
+
+    d = _docs(spark, sf_dir)
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        F.round(feats["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(feats["mean_word_len"], 6).alias("mean_word_len"),
+        feats["stopword_hits"].alias("stopword_hits"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+def _cnt_sql(expr_s: str, kw: str) -> str:
+    esc = kw.replace("'", "''")
+    return (f"CAST((length({expr_s}) - length(replace({expr_s}, '{esc}', '')))"
+            f" / {len(kw)} AS INT)")
+
+
+_STOP_HITS = " + ".join(_cnt_sql("lower(text)", kw)
+                        for kw in [" the ", " and ", " of ", " to ", " is "])
+SQL_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n,
+         {ws_token_count_sql('text')} AS n_words,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_n,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS sym,
+         {_STOP_HITS} AS stopword_hits
+  FROM documents)
+SELECT doc_id, n_words,
+       round(CAST(sym AS DOUBLE) / greatest(n, 1), 6) AS symbol_ratio,
+       round(CAST(alpha AS DOUBLE) / greatest(n_words, 1), 6) AS mean_word_len,
+       stopword_hits,
+       round((least(n / 50.0, 1.0)
+              + greatest(0.0, 1.0 - (CAST(sym AS DOUBLE) / greatest(n, 1)) / 0.3)
+              + (1.0 - least(CAST(upper_n AS DOUBLE) / greatest(alpha, 1), 1.0))
+              + least(stopword_hits / greatest(n_words / 10.0, 1.0), 1.0)) / 4.0,
+             6) AS quality
+FROM f
+"""
+
+
+def q_fingerprint_documents(spark, sf_dir) -> DataFrame:
+    """md5-gram variant of the rolling fingerprint (engine-agnostic hash so
+    the oracle can reproduce it bit-for-bit)."""
+    d = _docs(spark, sf_dir)
+    text = F.col("text")
+    n = F.length(text)
+    starts = F.sequence(F.lit(1), F.greatest(n - 7, F.lit(1)))
+    fp = F.array_min(F.transform(starts, lambda i: F.md5(F.substring(text, i, 8))))
+    return d.select("doc_id", fp.alias("fp"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       list_min(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+                               i -> md5(substr(text, i, 8)))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 25-27. similarity / drift
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk_embeddings(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.functions.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+                      "rank")
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings),
+s AS (SELECT query_id, vec_id, list_cosine_similarity(qv, cv) AS cos
+      FROM q CROSS JOIN c),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_psi_lang_documents(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.drift import psi_categorical
+
+    d = _docs(spark, sf_dir)
+    half = d.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    base = d.filter(F.col("doc_id") <= half)
+    cur = d.filter(F.col("doc_id") > half)
+    return psi_categorical(base, cur, "lang").select(
+        F.round("psi", 6).alias("psi")
+    )
+
+
+SQL_PSI_LANG = """
+WITH h AS (SELECT quantile_cont(doc_id, 0.5) AS m FROM documents),
+b AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cb FROM documents, h
+      WHERE doc_id <= m GROUP BY lang),
+c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cc FROM documents, h
+      WHERE doc_id > m GROUP BY lang),
+j AS (SELECT coalesce(b.lang, c.lang) AS lang,
+             coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+      FROM b FULL OUTER JOIN c ON b.lang = c.lang),
+t AS (SELECT greatest(cb / sum(cb) OVER (), 1e-6) AS p,
+             greatest(cc / sum(cc) OVER (), 1e-6) AS q
+      FROM j)
+SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM t
+"""
+
+
+def q_partition_drift_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.drift import partition_stat_drift
+
+    e = _events(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", "ts").cast("date").cast("string")
+    )
+    out = partition_stat_drift(e, "day", "value", N=5, X=3.0)
+    return out.select("day", F.round("part_mean", 6).alias("part_mean"), "code")
+
+
+SQL_PARTITION_DRIFT = f"""
+WITH p AS (
+  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+         avg(value) AS part_mean
+  FROM events GROUP BY 1),
+w AS (
+  SELECT day, part_mean,
+         row_number() OVER (ORDER BY day) AS rn,
+         avg(part_mean) OVER (ORDER BY day ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS m,
+         stddev_samp(part_mean) OVER (ORDER BY day ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS s
+  FROM p)
+SELECT day, round(part_mean, 6) AS part_mean,
+       CASE WHEN rn <= 5 THEN 2
+            ELSE {ladder_code_sql("((part_mean - m) / (3.0 * s))", ())} END AS code
+FROM w
+"""
+
+
+def q_shift_avg_time_features_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.windowed import (
+        average_features, shift_features, time_features,
+    )
+
+    e = _events(spark, sf_dir)
+    out = time_features(
+        average_features(
+            shift_features(e, "user_id", "ts", "value", [1, 2]),
+            "user_id", "ts", "value", [3],
+        ),
+        "ts", ("month", "day", "weekday", "hour"),
+    )
+    return out.select(
+        "event_id",
+        F.round("shift_1", 6).alias("lag1"), F.round("shift_2", 6).alias("lag2"),
+        F.round("avg_3", 6).alias("avg3"),
+        "tf_month", "tf_day", "tf_weekday", "tf_hour",
+    )
+
+
+SQL_SHIFT_AVG_TIME = f"""
+SELECT event_id,
+       round(lag(value, 1) OVER ({_W_USER}), 6) AS lag1,
+       round(lag(value, 2) OVER ({_W_USER}), 6) AS lag2,
+       round(avg(value) OVER ({_W_USER} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3,
+       CAST(month(ts) AS INT) AS tf_month,
+       CAST(day(ts) AS INT) AS tf_day,
+       CAST(isodow(ts) - 1 AS INT) AS tf_weekday,
+       CAST(hour(ts) AS INT) AS tf_hour
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL oracle: approx/stateful/hash-specific)
+# ---------------------------------------------------------------------------
+
+def q_minhash_near_dup_documents(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.functions.dedup import minhash_lsh_pairs
+
+    d = _docs(spark, sf_dir)
+    planted = d.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    return minhash_lsh_pairs(
+        d.unionByName(planted), "doc_id", "text", jaccard_threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_signatures_documents(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.functions.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_filtering_check_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.sequential import filtering_check
+
+    return filtering_check(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        filter_order=3, cutoff_frequency=0.4, mode=0,
+        LL=0.0, UL=400.0, warning_stages=(0.9,), extra_cols=("event_id",),
+    ).select("event_id", F.round("filtered", 6).alias("filtered"), "code")
+
+
+def q_repair_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.sequential import last_n_average_repair
+
+    return last_n_average_repair(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        N=5, LL=5.0, UL=350.0, extra_cols=("event_id",),
+    ).select("event_id", "code", F.round("suggested_value", 6).alias("suggested_value"))
+
+
+def q_iforest_embeddings(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.mvoutlier import iforest_check
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.element_at(F.col("embedding"), 1).cast("double").alias("f1"),
+        F.element_at(F.col("embedding"), 2).cast("double").alias("f2"),
+        F.aggregate(F.col("embedding").cast("array<double>"), F.lit(0.0),
+                    lambda a, x: a + x * x).alias("f_norm2"),
+    )
+    return iforest_check(
+        emb, "label", ["f1", "f2", "f_norm2"], contamination=0.02,
+        extra_cols=["vec_id"], n_trees=50, subsample=128,
+    ).select("vec_id", "label", F.round("score", 6).alias("score"), "code")
+
+
+def q_lsh_topk_embeddings(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.functions.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5, n_planes=6, n_tables=4).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_image_features_media(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.functions.multimodal import (
+        image_features, synth_media,
+    )
+
+    media = synth_media(spark, 128, kind="image", blob_bytes=2048)
+    out = image_features(media, resize_to=16)
+    return out.select(
+        "media_id", "decode_ok",
+        F.round(F.element_at("features", 1), 6).alias("mean_r"),
+        F.size("features").alias("n_features"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    # name: (spark_fn, oracle_sql_or_None)
+    "flagship_pricing_summary": (q_flagship_pricing_summary, SQL_FLAGSHIP),
+    "constraint_suite_documents": (q_constraint_suite_documents, SQL_CONSTRAINT_DOCS),
+    "constraint_check_events": (q_constraint_check_events, SQL_CONSTRAINT_EVENTS),
+    "border_summary_lineitem": (q_border_summary_lineitem, SQL_BORDER_LINEITEM),
+    "welford_windowed_events": (q_welford_windowed_events, SQL_WELFORD_WINDOWED),
+    "welford_streaming_events": (q_welford_streaming_events, SQL_WELFORD_STREAMING),
+    "percentile_check_events": (q_percentile_check_events, SQL_PERCENTILE),
+    "hampel_check_events": (q_hampel_check_events, SQL_HAMPEL),
+    "linear_fit_events": (q_linear_fit_events, SQL_LINEAR_FIT),
+    "ema_check_events": (q_ema_check_events, SQL_EMA),
+    "macd_check_events": (q_macd_check_events, SQL_MACD),
+    "cumulative_check_events": (q_cumulative_check_events, SQL_CUMULATIVE),
+    "percent_score_events": (q_percent_score_events, SQL_PERCENT_SCORE),
+    "combination_and_or_events": (q_combination_and_or_events, SQL_COMBINATION),
+    "column_stats_documents": (q_column_stats_documents, SQL_COLUMN_STATS_DOCS),
+    "salted_stats_lineitem": (q_salted_stats_lineitem, SQL_SALTED_STATS),
+    "welford_profile_events": (q_welford_profile_events, SQL_WELFORD_PROFILE),
+    "duplicate_orderkeys": (q_duplicate_orderkeys, SQL_DUP_ORDERKEYS),
+    "referential_orders_customer": (q_referential_orders_customer, SQL_REF_ORDERS),
+    "referential_lineitem_part_bloom": (q_referential_lineitem_part_bloom, SQL_REF_LINEITEM),
+    "exact_duplicates_documents": (q_exact_duplicates_documents, SQL_EXACT_DUP_DOCS),
+    "token_counts_documents": (q_token_counts_documents, SQL_TOKEN_COUNTS),
+    "lang_id_documents": (q_lang_id_documents, SQL_LANG_ID),
+    "quality_documents": (q_quality_documents, SQL_QUALITY),
+    "fingerprint_documents": (q_fingerprint_documents, SQL_FINGERPRINT),
+    "cosine_topk_embeddings": (q_cosine_topk_embeddings, SQL_COSINE_TOPK),
+    "psi_lang_documents": (q_psi_lang_documents, SQL_PSI_LANG),
+    "partition_drift_events": (q_partition_drift_events, SQL_PARTITION_DRIFT),
+    "shift_avg_time_features_events": (q_shift_avg_time_features_events, SQL_SHIFT_AVG_TIME),
+    # rows-only (non-SQL-expressible: approx, hash-specific, or stateful)
+    "minhash_near_dup_documents": (q_minhash_near_dup_documents, None),
+    "simhash_signatures_documents": (q_simhash_signatures_documents, None),
+    "filtering_check_events": (q_filtering_check_events, None),
+    "repair_events": (q_repair_events, None),
+    "iforest_embeddings": (q_iforest_embeddings, None),
+    "lsh_topk_embeddings": (q_lsh_topk_embeddings, None),
+    "image_features_media": (q_image_features_media, None),
+}

@@ -1,0 +1,86 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced with a noop-sink write (full execution, no driver
+collect bottleneck). Use tools/scaling_bench.py for the N-vs-4N scaling
+evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # name in anomaly_detection_spark.queries.REGISTRY
+    "flagship_pricing_summary",        # scan -> filter -> hash agg
+    "constraint_suite_documents",      # row-level constraint codes
+    "border_summary_lineitem",         # ladder expr + agg
+    "welford_windowed_events",         # window functions
+    "welford_streaming_events",        # expanding window
+    "hampel_check_events",             # collect_list window + HOFs
+    "ema_check_events",                # applyInPandas recurrence
+    "percent_score_events",            # event-time range frame
+    "column_stats_documents",          # group stats
+    "salted_stats_lineitem",           # two-level salted agg
+    "welford_profile_events",          # mapInPandas sketch + merge
+    "duplicate_orderkeys",             # salted uniqueness
+    "referential_lineitem_part_bloom", # bloom + anti join
+    "token_counts_documents",          # text HOF expressions
+    "lang_id_documents",               # marker-count expressions
+    "quality_documents",               # quality features
+    "fingerprint_documents",           # rolling-hash HOF
+    "minhash_near_dup_documents",      # LSH shuffle + verify join
+    "simhash_signatures_documents",    # vectorized pandas UDF
+    "cosine_topk_embeddings",          # broadcast crossJoin + HOF dot
+    "iforest_embeddings",              # per-group numpy forest
+]
+
+
+def force(df) -> int:
+    """Fully execute the plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from anomaly_detection_spark.queries import REGISTRY
+    from anomaly_detection_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    # JIT/session warmup on a trivial job so q1 isn't charged for it
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name][0]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_query_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

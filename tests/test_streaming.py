@@ -1,0 +1,94 @@
+"""Structured Streaming path: file-source stream through the constraint
+suite with watermarked windowed aggregation; late-data drop semantics."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.operators.constraints import not_nan, value_in_set
+from anomaly_detection_spark.streaming.stream import (
+    run_foreach_batch,
+    run_to_memory,
+    stream_source,
+    windowed_error_rates,
+    with_constraint_codes,
+)
+
+SCHEMA = "event_id long, ts timestamp, event_type string, value double"
+
+
+def _write_chunk(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_constraint_windowing(spark, tmp_path):
+    src = str(tmp_path / "in")
+    base = 1_700_000_000
+    rows1 = [
+        (i, F.lit(None), "click", 1.0) for i in range(0)
+    ]  # placeholder, real rows below
+    import datetime as dt
+
+    def ts(sec):
+        return dt.datetime.utcfromtimestamp(base + sec)
+
+    chunk1 = [
+        (1, ts(0), "click", 1.0),
+        (2, ts(10), "view", float("nan")),   # bad value
+        (3, ts(20), "bogus", 2.0),           # domain error
+        (4, ts(65), "click", 3.0),
+    ]
+    _write_chunk(spark, src, chunk1)
+
+    stream = stream_source(spark, path=src, schema=SCHEMA)
+    assert stream.isStreaming
+    checked = with_constraint_codes(stream, {
+        "c_value": not_nan(F.col("value")),
+        "c_domain": value_in_set(F.col("event_type"),
+                                 ["click", "view", "purchase", "signup"]),
+    })
+    result = windowed_error_rates(
+        checked, ts_col="ts", code_cols=["c_value", "c_domain"],
+        window="1 minute", watermark="2 minutes",
+    )
+    q = run_to_memory(result, "verdicts", mode="append")
+    try:
+        q.processAllAvailable()
+        # second chunk advances the watermark far enough to close windows
+        chunk2 = [(5, ts(600), "view", 4.0), (6, ts(660), "click", 5.0)]
+        _write_chunk(spark, src, chunk2)
+        q.processAllAvailable()
+        got = {
+            r["win_start"].strftime("%H:%M:%S"): (r["n"], r["n_error"])
+            for r in spark.sql("SELECT * FROM verdicts").collect()
+        }
+    finally:
+        q.stop()
+    # first minute-aligned window (22:13:00): 3 rows, 1 domain error
+    # (code -1); the NaN row is Undefined(2), not an error
+    w1 = [v for k, v in got.items() if k.endswith("13:00")]
+    assert w1 and w1[0] == (3, 1)
+
+
+def test_stream_foreach_batch_checkpoint(spark, tmp_path):
+    src = str(tmp_path / "in2")
+    ckpt = str(tmp_path / "ckpt")
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i), "click", float(i))
+            for i in range(20)]
+    _write_chunk(spark, src, rows)
+    stream = stream_source(spark, path=src, schema=SCHEMA)
+    checked = with_constraint_codes(stream, {
+        "c_value": not_nan(F.col("value")),
+    })
+    seen = []
+    q = run_foreach_batch(
+        checked, lambda df, epoch: seen.append((epoch, df.count())), ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(n for _, n in seen) == 20
