@@ -91,48 +91,74 @@ def minhash_lsh_pairs(
     (array_intersect/union sizes, JVM-side).
     """
     rows_per_band = n_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        char_shingles(F.col(text_col), k=shingle_k).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
 
-    banded = base.select(
-        "_id", "_sh",
+    # Stage 1 — signatures via explode -> codegen'd hash aggregate (HOF
+    # lambdas are interpreted, so H array_min(transform(...)) passes are
+    # much slower than H min-aggregates over exploded shingles).
+    sig = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(char_shingles(F.col(text_col), k=shingle_k))
+                  .alias("_g"))
+        .groupBy("_id")
+        .agg(*[F.min(F.xxhash64("_g", F.lit(i))).alias(f"_h{i}")
+               for i in range(n_hashes)])
+    )
+
+    # Stage 2 — bands as NARROW rows (_id, band, bh): never shuffle the
+    # multi-KB shingle arrays through the band explode or the self-join.
+    banded = sig.select(
+        "_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
                     F.xxhash64(
-                        *[F.element_at("_sig", b * rows_per_band + r + 1)
+                        *[F.col(f"_h{b * rows_per_band + r}")
                           for r in range(rows_per_band)]
                     ).alias("bh"),
                 )
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("_id", "_sh", "bb.band", "bb.bh")
+    ).select("_id", "bb.band", "bb.bh")
 
     # drop pathologically hot buckets (viral boilerplate) with a bound
     bucket_sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_n"))
     ok_buckets = bucket_sizes.filter(F.col("_n") <= max_bucket).drop("_n")
     banded = banded.join(ok_buckets, ["band", "bh"], "left_semi")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
+    a, b = banded.alias("a"), banded.alias("b")
+    cand_ids = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a._id") < F.col("b._id")))
-        .select(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("sh_a"), F.col("b._sh").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # Stage 3 — exact-Jaccard verify: shingles recomputed ONLY for docs
+    # that appear in a candidate pair (broadcast semi-join pushdown), so
+    # the expensive arrays exist for a vanishing fraction of the corpus.
+    cand_docs = cand_ids.select(F.col("id_a").alias("_id")).union(
+        cand_ids.select(F.col("id_b").alias("_id"))
+    ).distinct()
+    sh = (
+        df.select(F.col(id_col).alias("_id"),
+                  char_shingles(F.col(text_col), k=shingle_k).alias("_sh"))
+        .join(F.broadcast(cand_docs), "_id", "left_semi")
+    )
+    pairs = (
+        cand_ids
+        .join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
+              "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")),
+              "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        pairs.withColumn("jaccard",
+                         F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -1,0 +1,118 @@
+"""Clustering-distance check — the reference's DBSCAN detector
+(/root/reference/src/algorithms/clustering.py:125-140, 221-234) re-imagined
+distributed: a point is anomalous iff its euclidean distance to EVERY
+core sample is >= treshold (sic — the reference's parameter name).
+
+Two execution strategies, same semantics:
+
+* :func:`clustering_check_grouped` — per-group fit + score inside
+  ``applyInPandas`` (groups bounded; O(n^2) core-sample discovery on a
+  capped training sample, vectorized numpy).
+* :func:`clustering_check_broadcast` — fit once on a driver-collected
+  sample, broadcast the (small) core-sample matrix, score the full table
+  with a vectorized mapInPandas distance kernel — the scale path when one
+  global model covers the table (mirrors the reference's single model).
+
+DBSCAN core-sample discovery is the textbook definition: a point is a
+core sample iff >= min_samples points (incl. itself) lie within eps.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _core_samples(X: np.ndarray, eps: float, min_samples: int,
+                  max_train: int = 4096, seed: int = 0) -> np.ndarray:
+    if len(X) > max_train:
+        X = X[np.random.default_rng(seed).choice(len(X), max_train,
+                                                 replace=False)]
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    neighbors = (d2 <= eps * eps).sum(axis=1)
+    return X[neighbors >= min_samples]
+
+
+def _min_dist(X: np.ndarray, cores: np.ndarray) -> np.ndarray:
+    if len(cores) == 0:
+        return np.full(len(X), np.inf)
+    d2 = ((X[:, None, :] - cores[None, :, :]) ** 2).sum(-1)
+    return np.sqrt(d2.min(axis=1))
+
+
+def clustering_check_grouped(
+    df: DataFrame, keys, features: Sequence[str], *,
+    eps: float, min_samples: int, treshold: float,
+    extra_cols: Sequence[str] = (), out: str = "code",
+) -> DataFrame:
+    """Per-group core samples + distance verdict. Groups with < min_samples
+    rows are Undefined."""
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    cols = list(keys_l) + list(extra_cols) + list(features)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = pdf[list(features)].to_numpy(dtype=np.float64)
+        out_pdf = pdf[list(keys_l) + list(extra_cols)].copy()
+        if len(X) < min_samples:
+            out_pdf["min_core_dist"] = np.inf
+            out_pdf[out] = np.int32(2)
+            return out_pdf
+        cores = _core_samples(X, eps, min_samples)
+        dist = _min_dist(X, cores)
+        out_pdf["min_core_dist"] = dist
+        out_pdf[out] = np.where(dist >= treshold, -1, 1).astype(np.int32)
+        return out_pdf
+
+    in_schema = df.select(*(list(keys_l) + list(extra_cols))).schema
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema
+    ) + f", min_core_dist double, {out} int"
+    return (
+        df.select(*cols)
+        .repartition(*[F.col(k) for k in keys_l])
+        .groupBy(*keys_l)
+        .applyInPandas(fn, schema=schema)
+    )
+
+
+def clustering_check_broadcast(
+    spark: SparkSession, df: DataFrame, features: Sequence[str], *,
+    eps: float, min_samples: int, treshold: float,
+    train_sample: int = 4096, seed: int = 0,
+    id_cols: Sequence[str] = (), out: str = "code",
+) -> DataFrame:
+    """One global model: sample -> core samples on the driver -> broadcast
+    the core matrix -> vectorized distance scoring over Arrow batches.
+    The broadcast is tiny (core samples only); the scan is one pass."""
+    frac_df = df.select(*features)
+    n = frac_df.count()
+    sample = frac_df if n <= train_sample else frac_df.sample(
+        fraction=min(1.0, train_sample * 1.2 / n), seed=seed
+    ).limit(train_sample)
+    X = np.array([[r[c] for c in features] for r in sample.collect()],
+                 dtype=np.float64)
+    cores = _core_samples(X, eps, min_samples)
+    bc = spark.sparkContext.broadcast(cores)
+    feats = list(features)
+    keep = list(id_cols) + feats
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            Xb = pdf[feats].to_numpy(dtype=np.float64)
+            dist = _min_dist(Xb, C)
+            o = pdf[keep].copy()
+            o["min_core_dist"] = dist
+            o[out] = np.where(dist >= treshold, -1, 1).astype(np.int32)
+            yield o
+
+    in_schema = df.select(*keep).schema
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema
+    ) + f", min_core_dist double, {out} int"
+    return df.select(*keep).mapInPandas(score, schema=schema)

@@ -160,3 +160,55 @@ def iforest_check(
         .groupBy(*keys_l)
         .applyInPandas(fn, schema=schema)
     )
+
+
+def pca_iforest_check(
+    df: DataFrame, keys, features: Sequence[str], *,
+    n_components: int = 2, n_trees: int = 100, subsample: int = 256,
+    max_train: int = 20_000, score_threshold: float = 0.6,
+    contamination: float | None = None, seed: int = 0,
+    extra_cols: Sequence[str] = (), out: str = "code",
+) -> DataFrame:
+    """PCA -> Isolation Forest per group — the reference's PCA detector
+    (/root/reference/src/algorithms/pca.py:130-143, 191-257) projects each
+    feature vector onto the top principal components, then scores with an
+    iForest in the projected space. PCA here is plain numpy SVD on the
+    group's centered (capped) sample — no sklearn dependency, fully
+    vectorized, deterministic under the seed."""
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    cols = list(keys_l) + list(extra_cols) + list(features)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = pdf[list(features)].to_numpy(dtype=np.float64)
+        out_pdf = pdf[list(keys_l) + list(extra_cols)].copy()
+        if len(X) < max(8, n_components + 1):
+            out_pdf["score"] = 0.0
+            out_pdf[out] = np.int32(2)
+            return out_pdf
+        train = X if len(X) <= max_train else X[
+            np.random.default_rng(seed).choice(len(X), max_train, replace=False)
+        ]
+        mu = train.mean(axis=0)
+        _, _, Vt = np.linalg.svd(train - mu, full_matrices=False)
+        comps = Vt[:n_components]
+        Z_train = (train - mu) @ comps.T
+        Z = (X - mu) @ comps.T
+        forest = IsolationForest(n_trees, subsample, seed).fit(Z_train)
+        s = forest.score(Z)
+        thr = score_threshold
+        if contamination is not None:
+            thr = max(float(np.quantile(s, 1.0 - contamination)), 0.5)
+        out_pdf["score"] = s
+        out_pdf[out] = np.where(s > thr, -1, 1).astype(np.int32)
+        return out_pdf
+
+    in_schema = df.select(*(list(keys_l) + list(extra_cols))).schema
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema
+    ) + f", score double, {out} int"
+    return (
+        df.select(*cols)
+        .repartition(*[F.col(k) for k in keys_l])
+        .groupBy(*keys_l)
+        .applyInPandas(fn, schema=schema)
+    )

@@ -272,3 +272,70 @@ def filtering_check(
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema) \
         + ", filtered double, code int"
     return _grouped(df.select(*cols, value), keys_l, order, fn, schema)
+
+
+def ema_percentile_check(
+    df: DataFrame, keys, order: str, value: str, *,
+    N: int, percentile: float, window: int,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """EMA + percentile band (/root/reference/src/algorithms/ema_percentile.py:69-98):
+    EMA as in ema_check; verdict -1 iff the current EMA falls outside
+    [P_{100-p}, P_p] of the trailing `window` EMA values (incl. current);
+    warm-up rows (fewer than `window` EMAs) Undefined. Whole-series
+    pandas: ewm + rolling quantile."""
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    s = 2.0 / (N + 1)
+    p = percentile / 100.0
+    cols = list(keys_l) + [order] + list(extra_cols)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ema = pdf[value].ewm(alpha=s, adjust=False).mean()
+        hi = ema.rolling(window).quantile(p, interpolation="linear")
+        lo = ema.rolling(window).quantile(1.0 - p, interpolation="linear")
+        code = np.where(
+            hi.isna(), 2, np.where((ema > hi) | (ema < lo), -1, 1)
+        ).astype(np.int32)
+        out = pdf[cols].copy()
+        out["ema"] = ema.to_numpy()
+        out["code"] = code
+        return out
+
+    in_schema = df.select(*cols).schema
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema) \
+        + ", ema double, code int"
+    return _grouped(df.select(*cols, value), keys_l, order, fn, schema)
+
+
+def periodic_last_n_average_repair(
+    df: DataFrame, keys, order: str, value: str, *,
+    N: int, period: int, LL: float, UL: float,
+    warning_stages: Sequence[float] = (), extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Border check + PeriodicLastNAverage repair
+    (/root/reference/src/normalization.py:58-93): an erroneous value is
+    replaced by the mean of the last N (repaired) values spaced `period`
+    apart; repaired values feed subsequent windows (sequential scan,
+    errors-only scalar work like last_n_average_repair)."""
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    cols = list(keys_l) + [order] + list(extra_cols)
+    mid, half = (UL + LL) / 2.0, (UL - LL) / 2.0
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value].to_numpy().astype(np.float64)
+        repaired = v.copy()
+        vn = (v - mid) / half
+        err = np.abs(vn) > 1.0
+        for i in np.flatnonzero(err):
+            idx = [i - period * j for j in range(1, N + 1) if i - period * j >= 0]
+            if idx:
+                repaired[i] = repaired[idx].mean()
+        out = pdf[cols].copy()
+        out["code"] = _ladder_codes_np(vn, warning_stages)
+        out["suggested_value"] = repaired
+        return out
+
+    in_schema = df.select(*cols).schema
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema) \
+        + ", code int, suggested_value double"
+    return _grouped(df.select(*cols, value), keys_l, order, fn, schema)

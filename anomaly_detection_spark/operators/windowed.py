@@ -241,3 +241,81 @@ def time_features(df: DataFrame, ts: str, which: Sequence[str] = (
     for name in which:
         df = df.withColumn(f"tf_{name}", exprs[name])
     return df
+
+
+def time_average_features(df: DataFrame, keys, ts_seconds: str, value: str,
+                          periods_s: Sequence[int],
+                          prefix: str = "tavg_") -> DataFrame:
+    """Trailing fixed-duration bucket means (anomaly_detection.py:418-452):
+    for each period p seconds, the mean of values with timestamp in
+    (t - p, t]. Event-time RANGE frames — no per-row Python, state O(frame)."""
+    ts = F.col(ts_seconds)
+    try:
+        df.select(ts.cast("long")).schema
+        tsec = ts.cast("long")
+    except Exception:
+        tsec = F.unix_timestamp(ts)
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    for p in periods_s:
+        w = (Window.partitionBy(*keys_l).orderBy(tsec)
+             .rangeBetween(-(int(p) - 1), 0))
+        df = df.withColumn(f"{prefix}{p}", F.avg(value).over(w))
+    return df
+
+
+def trend_classification_check(
+    df: DataFrame, keys, order: str, value: str, *,
+    N: int = 10, conv: int = 3, LL: float = -1.0, UL: float = 1.0,
+    warning_stages: Sequence[float] = (), out: str = "code",
+) -> DataFrame:
+    """Trend-class check — the reference's Trend_Classification MLP
+    (/root/reference/src/algorithms/trend_classification.py:106-193) is a
+    classifier of up/flat/down ramps whose class prediction is convolved
+    then border-checked; its decision function reduces to the sign of the
+    local slope (SURVEY.md §2.4). Here: class_t = sign(regr_slope over
+    last N), convolved with a ``conv``-wide rolling mean, border-checked.
+    Pure window expressions."""
+    w = _w(keys, order)
+    rn = F.row_number().over(w)
+    dfx = df.withColumn("_x", rn.cast("double"))
+    slope = F.expr(f"regr_slope({value}, _x)").over(
+        _w(keys, order).rowsBetween(-(N - 1), 0)
+    )
+    dfx = dfx.withColumn("_cls", F.signum(slope))
+    conv_mean = F.avg("_cls").over(_w(keys, order).rowsBetween(-(conv - 1), 0))
+    vn = 2.0 * (conv_mean - (UL + LL) / 2.0) / (UL - LL)
+    code = F.when(rn < N + conv - 1, F.lit(UNDEFINED_CODE)).otherwise(
+        ladder_code(vn, warning_stages)
+    )
+    return dfx.withColumn(out, code).drop("_x", "_cls")
+
+
+def percent_score_alicante(
+    df: DataFrame, keys, ts_seconds, statuses: Sequence[str], *,
+    interval: float, num_in_interval: int, out: str = "score",
+) -> DataFrame:
+    """PercentScore_Alicante (combination.py:221-265): identical to
+    percent_score but only statuses whose TEXT contains 'upper' score
+    (warnings 1, errors 2); others contribute 0."""
+    ts = F.col(ts_seconds) if isinstance(ts_seconds, str) else ts_seconds
+    try:
+        df.select(ts.cast("long")).schema
+        tsec = ts.cast("long")
+    except Exception:
+        tsec = F.unix_timestamp(ts)
+    per_row = sum(
+        F.when(F.col(s).contains("upper") & F.col(s).startswith("Warning"), 1.0)
+        .when(F.col(s).contains("upper") & F.col(s).startswith("Error"), 2.0)
+        .otherwise(0.0)
+        for s in statuses
+    ) / (2.0 * len(statuses))
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    w = (
+        Window.partitionBy(*keys_l).orderBy(tsec)
+        .rangeBetween(-(int(interval) - 1), 0)
+    )
+    dfx = df.withColumn("_psa", per_row)
+    conv = F.sum("_psa").over(w) / F.greatest(
+        F.lit(float(num_in_interval)), F.count("_psa").over(w).cast("double")
+    )
+    return dfx.withColumn(out, conv).drop("_psa")

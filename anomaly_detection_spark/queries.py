@@ -957,3 +957,260 @@ REGISTRY: dict[str, tuple] = {
     "lsh_topk_embeddings": (q_lsh_topk_embeddings, None),
     "image_features_media": (q_image_features_media, None),
 }
+
+
+# ---------------------------------------------------------------------------
+# extended coverage: ema-percentile, asof band, time averages, trend class,
+# alicante score, clustering, pca-iforest, periodic repair
+# ---------------------------------------------------------------------------
+
+def q_ema_percentile_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.sequential import ema_percentile_check
+
+    out = ema_percentile_check(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        N=9, percentile=95.0, window=20, extra_cols=("event_id",),
+    )
+    return out.select("event_id", F.round("ema", 6).alias("ema"), "code")
+
+
+SQL_EMA_PERCENTILE = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         list_reduce(list(CAST(value AS DOUBLE)) OVER
+           ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           (acc, x) -> x * 0.2 + acc * 0.8) AS ema
+  FROM events),
+q AS (
+  SELECT event_id, ema,
+         count(ema) OVER ({_W_USER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS c,
+         quantile_cont(ema, 0.95) OVER ({_W_USER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS hi,
+         quantile_cont(ema, 0.05) OVER ({_W_USER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lo
+  FROM e)
+SELECT event_id, round(ema, 6) AS ema,
+       CASE WHEN c < 20 THEN 2 WHEN ema > hi OR ema < lo THEN -1 ELSE 1 END AS code
+FROM q
+"""
+
+
+def _bounds_grid(spark, sf_dir):
+    """Deterministic hourly tolerance-band table derived from the events
+    time range — identical arithmetic in Spark and the oracle."""
+    e = _events(spark, sf_dir)
+    lohi = e.agg(
+        F.floor(F.min(F.unix_timestamp("ts")) / 3600).alias("h0"),
+        F.floor(F.max(F.unix_timestamp("ts")) / 3600).alias("h1"),
+    ).first()
+    return spark.range(int(lohi["h0"]), int(lohi["h1"]) + 1).select(
+        F.col("id").alias("h"),
+        F.to_timestamp(F.col("id") * 3600).alias("bts"),
+        (20.0 + F.pmod(F.col("id"), 7).cast("double")).alias("yhat_lower"),
+        (400.0 - F.pmod(F.col("id"), 11).cast("double")).alias("yhat_upper"),
+    )
+
+
+def q_asof_band_check_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.asof import asof_band_check
+
+    e = _events(spark, sf_dir).select("event_id", "ts", "value")
+    bounds = _bounds_grid(spark, sf_dir).select("bts", "yhat_lower", "yhat_upper")
+    out = asof_band_check(
+        e.withColumn("bts", F.col("ts")), bounds, on="bts", value="value",
+    )
+    return out.select("event_id",
+                      F.round("yhat_lower", 6).alias("yhat_lower"),
+                      F.round("yhat_upper", 6).alias("yhat_upper"), "code")
+
+
+SQL_ASOF_BAND = """
+WITH hr AS (SELECT CAST(floor(epoch(min(ts)) / 3600) AS BIGINT) AS h0,
+                   CAST(floor(epoch(max(ts)) / 3600) AS BIGINT) AS h1 FROM events),
+bounds AS (
+  SELECT h, to_timestamp(h * 3600) AS bts,
+         20.0 + CAST(h % 7 AS DOUBLE) AS yhat_lower,
+         400.0 - CAST(h % 11 AS DOUBLE) AS yhat_upper
+  FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM hr))
+SELECT e.event_id,
+       round(b.yhat_lower, 6) AS yhat_lower,
+       round(b.yhat_upper, 6) AS yhat_upper,
+       CASE WHEN b.yhat_lower IS NULL OR b.yhat_upper IS NULL THEN 2
+            WHEN e.value < b.yhat_lower OR e.value > b.yhat_upper THEN -1
+            ELSE 1 END AS code
+FROM events e ASOF LEFT JOIN bounds b ON e.ts >= b.bts
+"""
+
+
+def q_time_averages_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.windowed import time_average_features
+
+    out = time_average_features(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        periods_s=[3600, 86400],
+    )
+    return out.select(
+        "event_id",
+        F.round("tavg_3600", 6).alias("tavg_hour"),
+        F.round("tavg_86400", 6).alias("tavg_day"),
+    )
+
+
+SQL_TIME_AVERAGES = """
+WITH t AS (SELECT event_id, user_id, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events)
+SELECT event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY tsec
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 6) AS tavg_hour,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY tsec
+             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW), 6) AS tavg_day
+FROM t
+"""
+
+
+def q_trend_classification_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.windowed import (
+        trend_classification_check,
+    )
+
+    out = trend_classification_check(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        N=10, conv=3, LL=-1.0, UL=1.0, warning_stages=(0.5,),
+    )
+    return out.select("event_id", "code")
+
+
+SQL_TREND_CLASS = f"""
+WITH x AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(row_number() OVER ({_W_USER}) AS DOUBLE) AS rn
+  FROM events),
+s AS (
+  SELECT event_id, user_id, ts, rn,
+         sign(regr_slope(value, rn) OVER ({_W_USER} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS cls
+  FROM x),
+c AS (
+  SELECT event_id, rn,
+         avg(cls) OVER ({_W_USER} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS conv
+  FROM s)
+SELECT event_id,
+       CASE WHEN rn < 12 THEN 2
+            ELSE {ladder_code_sql("conv", (0.5,))} END AS code
+FROM c
+"""
+
+
+def q_percent_score_alicante_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.codes import ladder_status, normalized
+    from anomaly_detection_spark.operators.windowed import percent_score_alicante
+
+    e = _events(spark, sf_dir).withColumn(
+        "status", ladder_status(normalized(F.col("value"), 0.0, 300.0), (0.9,))
+    )
+    out = percent_score_alicante(
+        e, "user_id", "ts", ["status"], interval=86400, num_in_interval=5,
+    )
+    return out.select("event_id", F.round("score", 6).alias("score"))
+
+
+SQL_ALICANTE = """
+WITH v AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         2.0 * (value - 150.0) / 300.0 AS vn
+  FROM events),
+s AS (
+  SELECT event_id, user_id, tsec,
+         (CASE WHEN vn > 1.0 THEN 2.0
+               WHEN vn > 0.9 THEN 1.0 ELSE 0.0 END) / 2.0 AS ps
+  FROM v)
+SELECT event_id,
+       round(sum(ps) OVER (PARTITION BY user_id ORDER BY tsec
+                           RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+             / greatest(5.0, CAST(count(ps) OVER (PARTITION BY user_id ORDER BY tsec
+                           RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+       AS score
+FROM s
+"""
+
+
+def q_clustering_embeddings(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.clustering import (
+        clustering_check_grouped,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.element_at(F.col("embedding"), 1).cast("double").alias("f1"),
+        F.element_at(F.col("embedding"), 2).cast("double").alias("f2"),
+    )
+    out = clustering_check_grouped(
+        emb, "label", ["f1", "f2"], eps=0.1, min_samples=4, treshold=0.2,
+        extra_cols=["vec_id"],
+    )
+    return out.select("vec_id", "label",
+                      F.round("min_core_dist", 6).alias("min_core_dist"),
+                      "code")
+
+
+SQL_CLUSTERING = """
+WITH pts AS (
+  SELECT vec_id, label,
+         CAST(embedding[1] AS DOUBLE) AS f1,
+         CAST(embedding[2] AS DOUBLE) AS f2
+  FROM embeddings),
+neigh AS (
+  SELECT a.label, a.vec_id, count(*) AS n
+  FROM pts a JOIN pts b ON a.label = b.label
+   AND (a.f1 - b.f1) * (a.f1 - b.f1) + (a.f2 - b.f2) * (a.f2 - b.f2) <= 0.01
+  GROUP BY a.label, a.vec_id),
+cores AS (
+  SELECT p.label, p.vec_id, p.f1, p.f2
+  FROM pts p JOIN neigh n ON p.label = n.label AND p.vec_id = n.vec_id
+  WHERE n.n >= 4),
+mind AS (
+  SELECT p.vec_id, p.label,
+         min(sqrt((p.f1 - c.f1) * (p.f1 - c.f1) + (p.f2 - c.f2) * (p.f2 - c.f2))) AS d
+  FROM pts p LEFT JOIN cores c ON p.label = c.label
+  GROUP BY p.vec_id, p.label)
+SELECT vec_id, label,
+       round(coalesce(d, 1e308), 6) AS min_core_dist,
+       CASE WHEN coalesce(d, 1e308) >= 0.2 THEN -1 ELSE 1 END AS code
+FROM mind
+"""
+
+
+def q_pca_iforest_embeddings(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.mvoutlier import pca_iforest_check
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).select(
+        "vec_id", "label",
+        *[F.element_at("v", i + 1).alias(f"f{i}") for i in range(8)],
+    )
+    return pca_iforest_check(
+        emb, "label", [f"f{i}" for i in range(8)], n_components=3,
+        contamination=0.02, extra_cols=["vec_id"], n_trees=50, subsample=64,
+    ).select("vec_id", "label", F.round("score", 6).alias("score"), "code")
+
+
+def q_periodic_repair_events(spark, sf_dir) -> DataFrame:
+    from anomaly_detection_spark.operators.sequential import (
+        periodic_last_n_average_repair,
+    )
+
+    return periodic_last_n_average_repair(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        N=3, period=2, LL=5.0, UL=350.0, extra_cols=("event_id",),
+    ).select("event_id", "code",
+             F.round("suggested_value", 6).alias("suggested_value"))
+
+
+REGISTRY.update({
+    "ema_percentile_events": (q_ema_percentile_events, SQL_EMA_PERCENTILE),
+    "asof_band_check_events": (q_asof_band_check_events, SQL_ASOF_BAND),
+    "time_averages_events": (q_time_averages_events, SQL_TIME_AVERAGES),
+    "trend_classification_events": (q_trend_classification_events, SQL_TREND_CLASS),
+    "percent_score_alicante_events": (q_percent_score_alicante_events, SQL_ALICANTE),
+    "clustering_embeddings": (q_clustering_embeddings, SQL_CLUSTERING),
+    "pca_iforest_embeddings": (q_pca_iforest_embeddings, None),
+    "periodic_repair_events": (q_periodic_repair_events, None),
+})

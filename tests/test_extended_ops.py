@@ -1,0 +1,164 @@
+"""Extended operator coverage: EMA-percentile, periodic repair, as-of
+join/band check, clustering distance check, PCA+iForest, time averages,
+trend classification, Alicante percent-score."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.operators.asof import (
+    asof_band_check,
+    asof_join_backward,
+)
+from anomaly_detection_spark.operators.clustering import (
+    clustering_check_broadcast,
+    clustering_check_grouped,
+)
+from anomaly_detection_spark.operators.mvoutlier import pca_iforest_check
+from anomaly_detection_spark.operators.sequential import (
+    ema_percentile_check,
+    periodic_last_n_average_repair,
+)
+from anomaly_detection_spark.operators.windowed import (
+    percent_score_alicante,
+    time_average_features,
+    trend_classification_check,
+)
+from tests.conftest import codes_of, series_df
+
+
+def test_ema_percentile_matches_pandas(spark):
+    import pandas as pd
+
+    vals = [10.0, 11, 10, 12, 11, 10, 50, 11, 10, 12, 11, 10, 11]
+    df = series_df(spark, vals)
+    out = ema_percentile_check(
+        df, "series", "ts", "value", N=3, percentile=90.0, window=5,
+    )
+    got = {r["ts"]: (r["ema"], r["code"]) for r in out.collect()}
+    ema = pd.Series(vals).ewm(alpha=0.5, adjust=False).mean()
+    hi = ema.rolling(5).quantile(0.9, interpolation="linear")
+    lo = ema.rolling(5).quantile(0.1, interpolation="linear")
+    for i, ts in enumerate(sorted(got)):
+        e, c = got[ts]
+        assert e == pytest.approx(ema[i], rel=1e-12)
+        if np.isnan(hi[i]):
+            assert c == 2
+        else:
+            assert c == (-1 if (ema[i] > hi[i] or ema[i] < lo[i]) else 1)
+
+
+def test_periodic_repair(spark):
+    # value 900 at index 6 is out of [0, 100]; period=2, N=2 repair uses
+    # repaired values at indices 4 and 2 -> mean(5.0, 3.0) = 4.0
+    vals = [1.0, 2, 3, 4, 5, 6, 900, 8]
+    df = series_df(spark, vals)
+    out = periodic_last_n_average_repair(
+        df, "series", "ts", "value", N=2, period=2, LL=0.0, UL=100.0,
+    ).orderBy("ts").collect()
+    assert [r["code"] for r in out] == [1, 1, 1, 1, 1, 1, -1, 1]
+    assert out[6]["suggested_value"] == pytest.approx(4.0)
+
+
+def test_asof_join_backward(spark):
+    obs = spark.createDataFrame(
+        [("u", 5.0, 1.0), ("u", 15.0, 2.0), ("u", 25.0, 3.0), ("u", 2.0, 9.0)],
+        "k string, t double, v double",
+    )
+    bounds = spark.createDataFrame(
+        [("u", 4.0, 0.0, 10.0), ("u", 20.0, 1.0, 2.5)],
+        "k string, t double, lo double, hi double",
+    )
+    got = {r["t"]: (r["lo"], r["hi"]) for r in asof_join_backward(
+        obs, bounds, on="t", keys=["k"], right_cols=["lo", "hi"]
+    ).collect()}
+    assert got[2.0] == (None, None)      # before any bound
+    assert got[5.0] == (0.0, 10.0)
+    assert got[15.0] == (0.0, 10.0)
+    assert got[25.0] == (1.0, 2.5)
+
+    checked = asof_band_check(
+        obs, bounds, on="t", value="v", keys=["k"], lower="lo", upper="hi"
+    )
+    codes = {r["t"]: r["code"] for r in checked.collect()}
+    assert codes == {2.0: 2, 5.0: 1, 15.0: 1, 25.0: -1}  # 3.0 > hi 2.5
+
+
+def test_clustering_grouped_and_broadcast_agree(spark):
+    rng = np.random.default_rng(6)
+    rows = []
+    # three tight clusters + two far outliers, one group
+    for cx, cy in [(0, 0), (5, 5), (-5, 5)]:
+        for x, y in rng.normal(0, 0.3, (30, 2)):
+            rows.append(("g", len(rows), float(cx + x), float(cy + y)))
+    rows.append(("g", len(rows), 50.0, 50.0))
+    rows.append(("g", len(rows), -40.0, 0.0))
+    df = spark.createDataFrame(rows, "grp string, rid long, fx double, fy double")
+    grouped = clustering_check_grouped(
+        df, "grp", ["fx", "fy"], eps=1.0, min_samples=5, treshold=3.0,
+        extra_cols=["rid"],
+    )
+    flagged_g = {r["rid"] for r in grouped.filter("code = -1").collect()}
+    assert flagged_g == {90, 91}
+    broadcast = clustering_check_broadcast(
+        spark, df, ["fx", "fy"], eps=1.0, min_samples=5, treshold=3.0,
+        id_cols=["rid"],
+    )
+    flagged_b = {r["rid"] for r in broadcast.filter("code = -1").collect()}
+    assert flagged_b == {90, 91}
+
+
+def test_pca_iforest_flags_projected_outlier(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    # points on a line y ~= x (1-D manifold in 2-D); outlier off-manifold
+    for i, x in enumerate(rng.normal(0, 1, 300)):
+        rows.append(("g", i, float(x), float(x + rng.normal(0, 0.05))))
+    rows.append(("g", 300, 0.0, 8.0))
+    df = spark.createDataFrame(rows, "grp string, rid long, fx double, fy double")
+    out = pca_iforest_check(
+        df, "grp", ["fx", "fy"], n_components=2, contamination=0.005,
+        extra_cols=["rid"],
+    )
+    flagged = {r["rid"] for r in out.filter("code = -1").collect()}
+    assert 300 in flagged and len(flagged) <= 5
+
+
+def test_time_average_features(spark):
+    df = series_df(spark, [1.0, 2, 3, 4], step=3600.0)  # hourly
+    out = time_average_features(
+        df, "series", "ts", "value", periods_s=[3600, 7200]
+    ).orderBy("ts").collect()
+    assert [r["tavg_3600"] for r in out] == [1.0, 2.0, 3.0, 4.0]
+    assert [r["tavg_7200"] for r in out] == [1.0, 1.5, 2.5, 3.5]
+
+
+def test_trend_classification_ladder(spark):
+    up = list(range(20))
+    df = series_df(spark, [float(v) for v in up])
+    out = trend_classification_check(
+        df, "series", "ts", "value", N=5, conv=3, LL=-1.0, UL=1.0,
+        warning_stages=(0.5,),
+    )
+    codes = codes_of(out)
+    assert all(c == 2 for c in codes[:6])          # warm-up N+conv-2
+    # steady up-ramp: conv mean of sign = +1 -> vn = 1.0 -> not >1 -> warning
+    assert all(c == 0 for c in codes[7:])
+
+
+def test_percent_score_alicante_counts_only_upper(spark):
+    from anomaly_detection_spark.codes import ladder_status, normalized
+
+    vals = [50.0, 120.0, -30.0, 50.0]  # upper error, lower error
+    df = series_df(spark, vals).withColumn(
+        "status", ladder_status(normalized(F.col("value"), 0.0, 100.0), (0.9,))
+    )
+    out = percent_score_alicante(
+        df, "series", "ts", ["status"], interval=86400, num_in_interval=2,
+    ).orderBy("ts").collect()
+    scores = [r["score"] for r in out]
+    # only the 120.0 (above upper) contributes 2/2=1.0; denominator max(2, n)
+    assert scores[0] == 0.0
+    assert scores[1] == pytest.approx(0.5)   # 1.0 / max(2, 2)
+    assert scores[2] == pytest.approx(1.0 / 3)
+    assert scores[3] == pytest.approx(0.25)
