@@ -95,12 +95,22 @@ def minhash_lsh_pairs(
     # Stage 1 — signatures via explode -> codegen'd hash aggregate (HOF
     # lambdas are interpreted, so H array_min(transform(...)) passes are
     # much slower than H min-aggregates over exploded shingles).
+    # explode RAW shingle OFFSETS then substring+hash as a flat projection
+    # (higher-order-function lambdas are interpreted per element; explode+
+    # substring+xxhash64 stay inside whole-stage codegen). Min over
+    # duplicates == min over the set, so no distinct pass. Each shingle is
+    # hashed once; the H minhash values derive from re-hashing the 8-byte
+    # base hash — far cheaper than H string hashes.
+    n = F.length(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
     sig = (
-        df.select(F.col(id_col).alias("_id"),
-                  F.explode(char_shingles(F.col(text_col), k=shingle_k))
-                  .alias("_g"))
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"),
+                  F.explode(starts).alias("_i"))
+        .select("_id",
+                F.xxhash64(F.substring(F.col("_t"), F.col("_i"), shingle_k))
+                .alias("_hb"))
         .groupBy("_id")
-        .agg(*[F.min(F.xxhash64("_g", F.lit(i))).alias(f"_h{i}")
+        .agg(*[F.min(F.xxhash64("_hb", F.lit(i))).alias(f"_h{i}")
                for i in range(n_hashes)])
     )
 
@@ -122,19 +132,34 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bh")
 
-    # drop pathologically hot buckets (viral boilerplate) with a bound
-    bucket_sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_n"))
-    ok_buckets = bucket_sizes.filter(F.col("_n") <= max_bucket).drop("_n")
-    banded = banded.join(ok_buckets, ["band", "bh"], "left_semi")
-
-    a, b = banded.alias("a"), banded.alias("b")
+    # Candidate pairs WITHOUT a self-join (a self-join would recompute the
+    # whole signature pipeline for each side): one shuffle groups ids per
+    # (band, bucket-hash); pairs are generated inside each bucket with
+    # array combinatorics. Pathologically hot buckets (viral boilerplate)
+    # are dropped by the max_bucket bound, so pair fan-out per bucket is
+    # capped at max_bucket^2/2.
+    ids = F.array_sort(F.collect_list("_id"))
+    buckets = (
+        banded.groupBy("band", "bh").agg(ids.alias("_ids"))
+        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_bucket))
+    )
+    sz = F.size("_ids")
+    pair_structs = F.flatten(F.transform(
+        F.col("_ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_ids"), i + 2, sz), lambda y: F.struct(
+                x.alias("id_a"), y.alias("id_b"))),
+    ))
     cand_ids = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # consumed by BOTH the verify semi-join and the final pair join; without
+    # materialization the whole signature pipeline executes twice. LSH
+    # candidates are a vanishing fraction of the corpus, so this is small.
+    from pyspark.storagelevel import StorageLevel
+    cand_ids = cand_ids.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Stage 3 — exact-Jaccard verify: shingles recomputed ONLY for docs
     # that appear in a candidate pair (broadcast semi-join pushdown), so
@@ -142,10 +167,12 @@ def minhash_lsh_pairs(
     cand_docs = cand_ids.select(F.col("id_a").alias("_id")).union(
         cand_ids.select(F.col("id_b").alias("_id"))
     ).distinct()
+    # join BEFORE computing shingles — a projection above the join would
+    # evaluate the (interpreted) shingle HOF for every doc in the corpus
     sh = (
-        df.select(F.col(id_col).alias("_id"),
-                  char_shingles(F.col(text_col), k=shingle_k).alias("_sh"))
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
         .join(F.broadcast(cand_docs), "_id", "left_semi")
+        .select("_id", char_shingles(F.col("_t"), k=shingle_k).alias("_sh"))
     )
     pairs = (
         cand_ids
@@ -258,15 +285,27 @@ def simhash_near_dup_pairs(
             ])
         ).alias("bb"),
     ).select("_id", "simhash", "bb.blk", "bb.bv")
-    a, b = blocks.alias("a"), blocks.alias("b")
+    # pairs via bucket grouping, not a self-join (a self-join would run the
+    # signature mapInPandas twice); each (blk, bv) bucket carries (id, sig)
+    # structs and emits its own pair combinations
+    members = F.array_sort(F.collect_list(F.struct(
+        F.col("_id").alias("i"), F.col("simhash").alias("s"))))
+    buckets = (
+        blocks.groupBy("blk", "bv").agg(members.alias("_m"))
+        .filter(F.size("_m") > 1)
+    )
+    sz = F.size("_m")
+    pair_structs = F.flatten(F.transform(
+        F.col("_m"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_m"), i + 2, sz),
+            lambda y: F.struct(
+                x["i"].alias("id_a"), y["i"].alias("id_b"),
+                x["s"].alias("sa"), y["s"].alias("sb"))),
+    ))
     cand = (
-        a.join(b, (F.col("a.blk") == F.col("b.blk"))
-               & (F.col("a.bv") == F.col("b.bv"))
-               & (F.col("a._id") < F.col("b._id")))
-        .select(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
-            F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sa", "p.sb")
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))

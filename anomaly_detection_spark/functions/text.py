@@ -182,3 +182,30 @@ def char_shingles(text: Column, *, k: int = 8) -> Column:
     return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
         F.array_distinct(F.transform(starts, lambda i: F.substring(text, i, k)))
     )
+
+
+def lang_id_scored(df, text_col: str, out: str = "lang_pred"):
+    """DataFrame-level language ID: materializes the padded text and each
+    language's marker score as intermediate columns so the (expensive)
+    lowercase/pad pass and the per-language counts are each evaluated
+    ONCE — the pure-Column :func:`lang_id` inlines them ~2x per marker
+    per comparison, which bloats codegen for wide marker sets."""
+    from pyspark.sql import functions as F
+
+    scored = df.withColumn(
+        "_padded", F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    )
+    score_cols = []
+    for lang, kws in LANG_MARKERS.items():
+        s = None
+        for kw in kws:
+            c = count_occurrences(F.col("_padded"), kw)
+            s = c if s is None else s + c
+        scored = scored.withColumn(f"_s_{lang}", s)
+        score_cols.append(f"_s_{lang}")
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(F.col(f"_s_{lang}") == best, F.lit(lang)).otherwise(expr)
+    result = F.when(best <= 0, F.lit("und")).otherwise(expr)
+    return scored.withColumn(out, result).drop("_padded", *score_cols)

@@ -2,12 +2,17 @@
 genuinely need per-group sequential semantics (EMA-family recurrences,
 decayed cumulative sums, IIR filters, repair feedback).
 
-Contract: each series is confined to one group (hash-shuffle on the key),
-rows are sorted by the order column INSIDE the pandas function (Spark does
-not guarantee intra-group order), and the whole series is processed with
-vectorized pandas/numpy ops — zero per-row Python, per the north rule.
-At 100 TB this shuffles once on the series key and streams one Arrow batch
-per group; groups are bounded by series length, not table size.
+Contract: each series is confined to one task, rows are sorted by
+(series keys, order) INSIDE the pandas function (Spark does not guarantee
+intra-group order), and series math runs through pandas' Cython groupby
+kernels (``groupby().ewm/rolling/shift/cumcount``) — zero per-row Python,
+per the north rule.
+
+Scale design: Spark groups are SERIES BUCKETS (``pmod(hash(keys),
+n_buckets)``), not individual series. A million tiny series would pay
+applyInPandas' per-group Arrow overhead a million times; bucketing bounds
+the task count at ``n_buckets`` while each bucket processes its series
+through one vectorized pandas pass. One hash shuffle either way.
 """
 
 from __future__ import annotations
@@ -20,7 +25,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from anomaly_detection_spark.codes import UNDEFINED_CODE
+from anomaly_detection_spark.codes import UNDEFINED_CODE  # noqa: F401 (API)
+
+SERIES_BUCKETS = 64
 
 
 def _ladder_codes_np(vn: np.ndarray, warning_stages: Sequence[float]) -> np.ndarray:
@@ -33,15 +40,29 @@ def _ladder_codes_np(vn: np.ndarray, warning_stages: Sequence[float]) -> np.ndar
     return code
 
 
-def _grouped(df: DataFrame, keys, order: str, fn, schema: str) -> DataFrame:
+def _grouped(df: DataFrame, keys, order: str, fn, schema: str,
+             n_buckets: int = SERIES_BUCKETS) -> DataFrame:
+    """Bucket series -> applyInPandas. ``fn`` receives a frame sorted by
+    (keys, order) possibly containing MANY series and must keep row order."""
     keys = keys if isinstance(keys, (list, tuple)) else [keys]
 
     def wrapper(pdf: pd.DataFrame) -> pd.DataFrame:
-        return fn(pdf.sort_values(order, kind="mergesort").reset_index(drop=True))
+        pdf = pdf.sort_values(list(keys) + [order],
+                              kind="mergesort").reset_index(drop=True)
+        return fn(pdf.drop(columns=["_bkt"]))
 
-    return df.repartition(*[F.col(k) for k in keys]).groupBy(*keys).applyInPandas(
-        wrapper, schema=schema
+    bucketed = df.withColumn(
+        "_bkt", F.pmod(F.xxhash64(*[F.col(k) for k in keys]),
+                       F.lit(n_buckets))
     )
+    return bucketed.groupBy("_bkt").applyInPandas(wrapper, schema=schema)
+
+
+def _out_schema(df: DataFrame, cols, extra: str) -> str:
+    in_schema = df.select(*cols).schema
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema
+    ) + ", " + extra
 
 
 def ema_check(
@@ -51,25 +72,27 @@ def ema_check(
 ) -> DataFrame:
     """EMA drift check (/root/reference/src/algorithms/ema.py:88-126):
     EMA_t = v_t*s + EMA_{t-1}*(1-s), s = 2/(N+1), EMA_0 = v_0; the EMA is
-    border-checked against [LL, UL] with the warning ladder. Implemented
-    with ``pandas.Series.ewm(alpha=s, adjust=False)`` — the exact same
-    recurrence, whole-series vectorized."""
+    border-checked against [LL, UL] with the warning ladder. The exact
+    recurrence via the Cython ``groupby().ewm(alpha=s, adjust=False)``
+    kernel — one pass over the whole bucket."""
     keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
     s = 2.0 / (N + 1)
     cols = list(keys_l) + [order] + list(extra_cols)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ema = pdf[value].ewm(alpha=s, adjust=False).mean().to_numpy()
+        ema = (
+            pdf.groupby(list(keys_l), sort=False)[value]
+            .ewm(alpha=s, adjust=False).mean()
+            .to_numpy()
+        )
         vn = 2.0 * (ema - (UL + LL) / 2.0) / (UL - LL)
         out = pdf[cols].copy()
         out["ema"] = ema
         out["code"] = _ladder_codes_np(vn, warning_stages)
         return out
 
-    in_schema = df.select(*cols).schema
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema) \
-        + ", ema double, code int"
-    return _grouped(df.select(*cols, value), keys_l, order, fn, schema)
+    return _grouped(df.select(*cols, value), keys_l, order, fn,
+                    _out_schema(df, cols, "ema double, code int"))
 
 
 def macd_check(
@@ -87,19 +110,17 @@ def macd_check(
     cols = list(keys_l) + [order] + list(extra_cols)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf[value]
-        e1 = v.ewm(alpha=a1, adjust=False).mean().to_numpy()
-        e2 = v.ewm(alpha=a2, adjust=False).mean().to_numpy()
+        g = pdf.groupby(list(keys_l), sort=False)[value]
+        e1 = g.ewm(alpha=a1, adjust=False).mean().to_numpy()
+        e2 = g.ewm(alpha=a2, adjust=False).mean().to_numpy()
         vn = 2.0 * ((e1 - e2) - (UL + LL) / 2.0) / (UL - LL)
         out = pdf[cols].copy()
         out["macd"] = e1 - e2
         out["code"] = _ladder_codes_np(vn, warning_stages)
         return out
 
-    in_schema = df.select(*cols).schema
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema) \
-        + ", macd double, code int"
-    return _grouped(df.select(*cols, value), keys_l, order, fn, schema)
+    return _grouped(df.select(*cols, value), keys_l, order, fn,
+                    _out_schema(df, cols, "macd double, code int"))
 
 
 def cumulative_check(
@@ -115,29 +136,81 @@ def cumulative_check(
     fixed [-1, 1] band with the warning ladder.
 
     Closed form used for vectorization: c_t = sum_i delta_i*(1-d)^(t-i+1),
-    computed as (1-d)^(t+1) * cumsum(delta_i * (1-d)^(-i)) — numerically
-    dominated by recent terms, stable for series up to ~10^4 rows per group.
+    computed per series as (1-d)^(t+1) * cumsum(delta_i * (1-d)^(-i)) with
+    t = the row's within-series index — all groupby Cython kernels.
     """
     keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
     cols = list(keys_l) + [order] + list(extra_cols)
     q = 1.0 - decay
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf[value]
-        rm = v.rolling(averaging, min_periods=1).mean().to_numpy()
-        prev = np.concatenate(([0.0], rm[:-1]))
+        g = pdf.groupby(list(keys_l), sort=False)
+        rm = g[value].rolling(averaging, min_periods=1).mean().to_numpy()
+        prev = g[value].transform(lambda s: s.rolling(
+            averaging, min_periods=1).mean().shift(1, fill_value=0.0)
+        ).to_numpy()
         delta = (rm - prev) / np.abs(rm)
-        t = np.arange(len(v), dtype=np.float64)
-        c = np.power(q, t + 1.0) * np.cumsum(delta * np.power(q, -t))
+        t = g.cumcount().to_numpy().astype(np.float64)
+        # per-series cumsum of delta * q^-t, then scale by q^(t+1)
+        scaled = delta * np.power(q, -t)
+        cs = pd.Series(scaled).groupby(
+            pdf[list(keys_l)].apply(tuple, axis=1).to_numpy()
+        ).cumsum().to_numpy() if len(keys_l) > 1 else pd.Series(
+            scaled
+        ).groupby(pdf[keys_l[0]].to_numpy()).cumsum().to_numpy()
+        c = np.power(q, t + 1.0) * cs
         out = pdf[cols].copy()
         out["cusum"] = c
         out["code"] = _ladder_codes_np(c, warning_stages)
         return out
 
-    in_schema = df.select(*cols).schema
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema) \
-        + ", cusum double, code int"
-    return _grouped(df.select(*cols, value), keys_l, order, fn, schema)
+    return _grouped(df.select(*cols, value), keys_l, order, fn,
+                    _out_schema(df, cols, "cusum double, code int"))
+
+
+def ema_percentile_check(
+    df: DataFrame, keys, order: str, value: str, *,
+    N: int, percentile: float, window: int,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """EMA + percentile band (/root/reference/src/algorithms/ema_percentile.py:69-98):
+    EMA as in ema_check; verdict -1 iff the current EMA falls outside
+    [P_{100-p}, P_p] of the trailing `window` EMA values (incl. current);
+    warm-up rows (fewer than `window` EMAs) Undefined."""
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    s = 2.0 / (N + 1)
+    p = percentile / 100.0
+    cols = list(keys_l) + [order] + list(extra_cols)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(list(keys_l), sort=False)[value]
+        ema = g.ewm(alpha=s, adjust=False).mean().reset_index(drop=True)
+        ge = ema.groupby(pdf[keys_l[0]].to_numpy() if len(keys_l) == 1
+                         else pdf[list(keys_l)].apply(tuple, axis=1).to_numpy())
+        hi = ge.rolling(window).quantile(p, interpolation="linear").to_numpy()
+        lo = ge.rolling(window).quantile(1.0 - p,
+                                         interpolation="linear").to_numpy()
+        e = ema.to_numpy()
+        code = np.where(
+            np.isnan(hi), 2, np.where((e > hi) | (e < lo), -1, 1)
+        ).astype(np.int32)
+        out = pdf[cols].copy()
+        out["ema"] = e
+        out["code"] = code
+        return out
+
+    return _grouped(df.select(*cols, value), keys_l, order, fn,
+                    _out_schema(df, cols, "ema double, code int"))
+
+
+def _per_series(pdf: pd.DataFrame, keys_l, fn_series):
+    """Iterate series inside a bucket (for genuinely scalar recurrences:
+    IIR state, repair feedback). Work per series is numpy; the python loop
+    is over SERIES, not rows."""
+    outs = []
+    for _, g in pdf.groupby(list(keys_l), sort=False):
+        outs.append(fn_series(g))
+    return pd.concat(outs, ignore_index=True)
 
 
 def last_n_average_repair(
@@ -156,8 +229,8 @@ def last_n_average_repair(
     cols = list(keys_l) + [order] + list(extra_cols)
     mid, half = (UL + LL) / 2.0, (UL - LL) / 2.0
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf[value].to_numpy().astype(np.float64)
+    def one(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value].to_numpy().astype(np.float64)
         repaired = v.copy()
         vn = (v - mid) / half
         err = np.abs(vn) > 1.0
@@ -166,16 +239,53 @@ def last_n_average_repair(
             if i > 0:
                 repaired[i] = repaired[lo:i].mean()
         vn_r = (repaired - mid) / half
-        out = pdf[cols].copy()
+        out = g[cols].copy()
         out["code"] = _ladder_codes_np(vn, warning_stages)
         out["suggested_value"] = repaired
         out["vn_repaired"] = vn_r
         return out
 
-    in_schema = df.select(*cols).schema
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema) \
-        + ", code int, suggested_value double, vn_repaired double"
-    return _grouped(df.select(*cols, value), keys_l, order, fn, schema)
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _per_series(pdf, keys_l, one)
+
+    return _grouped(
+        df.select(*cols, value), keys_l, order, fn,
+        _out_schema(df, cols,
+                    "code int, suggested_value double, vn_repaired double"))
+
+
+def periodic_last_n_average_repair(
+    df: DataFrame, keys, order: str, value: str, *,
+    N: int, period: int, LL: float, UL: float,
+    warning_stages: Sequence[float] = (), extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Border check + PeriodicLastNAverage repair
+    (/root/reference/src/normalization.py:58-93): an erroneous value is
+    replaced by the mean of the last N (repaired) values spaced `period`
+    apart; repaired values feed subsequent windows."""
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    cols = list(keys_l) + [order] + list(extra_cols)
+    mid, half = (UL + LL) / 2.0, (UL - LL) / 2.0
+
+    def one(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value].to_numpy().astype(np.float64)
+        repaired = v.copy()
+        vn = (v - mid) / half
+        err = np.abs(vn) > 1.0
+        for i in np.flatnonzero(err):
+            idx = [i - period * j for j in range(1, N + 1) if i - period * j >= 0]
+            if idx:
+                repaired[i] = repaired[idx].mean()
+        out = g[cols].copy()
+        out["code"] = _ladder_codes_np(vn, warning_stages)
+        out["suggested_value"] = repaired
+        return out
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _per_series(pdf, keys_l, one)
+
+    return _grouped(df.select(*cols, value), keys_l, order, fn,
+                    _out_schema(df, cols, "code int, suggested_value double"))
 
 
 # ---------------------------------------------------------------------------
@@ -250,8 +360,8 @@ def filtering_check(
     b, a = butter_lowpass(filter_order, cutoff_frequency)
     mid, half = (UL + LL) / 2.0, (UL - LL) / 2.0
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf[value].to_numpy().astype(np.float64)
+    def one(g: pd.DataFrame) -> pd.DataFrame:
+        x = g[value].to_numpy().astype(np.float64)
         y, _ = lfilter(b, a, x, zi=lfilter_zi(b, a))
         vn = (y - mid) / half
         if mode == 0:
@@ -263,79 +373,13 @@ def filtering_check(
             else:
                 warn = np.ones(len(x), dtype=np.int64)
             code = np.where((deviation > 1.0) | (vn < -1.0), -1, warn).astype(np.int32)
-        out = pdf[cols].copy()
+        out = g[cols].copy()
         out["filtered"] = y
         out["code"] = code
         return out
 
-    in_schema = df.select(*cols).schema
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema) \
-        + ", filtered double, code int"
-    return _grouped(df.select(*cols, value), keys_l, order, fn, schema)
-
-
-def ema_percentile_check(
-    df: DataFrame, keys, order: str, value: str, *,
-    N: int, percentile: float, window: int,
-    extra_cols: Sequence[str] = (),
-) -> DataFrame:
-    """EMA + percentile band (/root/reference/src/algorithms/ema_percentile.py:69-98):
-    EMA as in ema_check; verdict -1 iff the current EMA falls outside
-    [P_{100-p}, P_p] of the trailing `window` EMA values (incl. current);
-    warm-up rows (fewer than `window` EMAs) Undefined. Whole-series
-    pandas: ewm + rolling quantile."""
-    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
-    s = 2.0 / (N + 1)
-    p = percentile / 100.0
-    cols = list(keys_l) + [order] + list(extra_cols)
-
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ema = pdf[value].ewm(alpha=s, adjust=False).mean()
-        hi = ema.rolling(window).quantile(p, interpolation="linear")
-        lo = ema.rolling(window).quantile(1.0 - p, interpolation="linear")
-        code = np.where(
-            hi.isna(), 2, np.where((ema > hi) | (ema < lo), -1, 1)
-        ).astype(np.int32)
-        out = pdf[cols].copy()
-        out["ema"] = ema.to_numpy()
-        out["code"] = code
-        return out
+        return _per_series(pdf, keys_l, one)
 
-    in_schema = df.select(*cols).schema
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema) \
-        + ", ema double, code int"
-    return _grouped(df.select(*cols, value), keys_l, order, fn, schema)
-
-
-def periodic_last_n_average_repair(
-    df: DataFrame, keys, order: str, value: str, *,
-    N: int, period: int, LL: float, UL: float,
-    warning_stages: Sequence[float] = (), extra_cols: Sequence[str] = (),
-) -> DataFrame:
-    """Border check + PeriodicLastNAverage repair
-    (/root/reference/src/normalization.py:58-93): an erroneous value is
-    replaced by the mean of the last N (repaired) values spaced `period`
-    apart; repaired values feed subsequent windows (sequential scan,
-    errors-only scalar work like last_n_average_repair)."""
-    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
-    cols = list(keys_l) + [order] + list(extra_cols)
-    mid, half = (UL + LL) / 2.0, (UL - LL) / 2.0
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf[value].to_numpy().astype(np.float64)
-        repaired = v.copy()
-        vn = (v - mid) / half
-        err = np.abs(vn) > 1.0
-        for i in np.flatnonzero(err):
-            idx = [i - period * j for j in range(1, N + 1) if i - period * j >= 0]
-            if idx:
-                repaired[i] = repaired[idx].mean()
-        out = pdf[cols].copy()
-        out["code"] = _ladder_codes_np(vn, warning_stages)
-        out["suggested_value"] = repaired
-        return out
-
-    in_schema = df.select(*cols).schema
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema) \
-        + ", code int, suggested_value double"
-    return _grouped(df.select(*cols, value), keys_l, order, fn, schema)
+    return _grouped(df.select(*cols, value), keys_l, order, fn,
+                    _out_schema(df, cols, "filtered double, code int"))

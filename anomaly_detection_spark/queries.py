@@ -630,10 +630,10 @@ FROM documents
 
 
 def q_lang_id_documents(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.functions.text import lang_id
+    from anomaly_detection_spark.functions.text import lang_id_scored
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    return lang_id_scored(_docs(spark, sf_dir), "text").select(
+        "doc_id", "lang_pred"
     )
 
 
