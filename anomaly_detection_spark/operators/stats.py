@@ -170,3 +170,48 @@ def welford_profile(df: DataFrame, value: str, key: str | None = None) -> DataFr
     out_schema = ("part_key string, n double, n_null double, mean double, "
                   "var_pop double, stddev_samp double, min double, max double")
     return partials.groupBy("part_key").applyInPandas(merge, schema=out_schema)
+
+
+def hll_distinct(df: DataFrame, col: str, key: str | None = None, *,
+                 p: int = 12):
+    """Approx-distinct via explicit mergeable HLL sketches: one register
+    array per (Arrow batch x group) from mapInPandas, byte-serialized,
+    max-merged in a final applyInPandas — the same partial/merge shape the
+    audit ledger stores. Returns (part_key, n_distinct_approx, sketch).
+
+    Production profiling should prefer the built-in
+    ``approx_count_distinct`` (JVM HLL++); this path exists for sketch
+    persistence/merging across runs."""
+    from anomaly_detection_spark.sketches import HyperLogLog
+
+    def update(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            groups = (pdf.groupby(key, dropna=False, observed=True)
+                      if key is not None else [("", pdf)])
+            rows = []
+            for gkey, g in groups:
+                vals = g[col].dropna()
+                h = HyperLogLog(p)
+                if len(vals):
+                    h.add_batch(vals.to_numpy())
+                rows.append((str(gkey), h.to_bytes()))
+            yield pd.DataFrame(rows, columns=["part_key", "sketch"])
+
+    cols = [col] if key is None else [key, col]
+    partials = df.select(*cols).mapInPandas(
+        update, schema="part_key string, sketch binary")
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        from anomaly_detection_spark.sketches import HyperLogLog
+
+        acc = HyperLogLog(p)
+        for raw in pdf["sketch"]:
+            acc = acc.merge(HyperLogLog.from_bytes(p, raw))
+        return pd.DataFrame([{
+            "part_key": pdf["part_key"].iloc[0],
+            "n_distinct_approx": acc.estimate(),
+            "sketch": acc.to_bytes(),
+        }])
+
+    return partials.groupBy("part_key").applyInPandas(
+        merge, schema="part_key string, n_distinct_approx double, sketch binary")

@@ -273,3 +273,59 @@ class BloomFilter:
     @classmethod
     def from_bytes(cls, m_bits: int, k: int, raw: bytes) -> "BloomFilter":
         return cls(m_bits, k, np.frombuffer(raw, dtype=np.uint64).copy())
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007, with the standard small-range
+# correction — public algorithm). Registers are a numpy uint8 array;
+# merge = element-wise max. Complements Spark's built-in
+# approx_count_distinct (HLL++) when the per-partition sketch OBJECT
+# must be stored (audit table) or merged across runs.
+# ---------------------------------------------------------------------------
+
+class HyperLogLog:
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (registers if registers is not None
+                          else np.zeros(self.m, dtype=np.uint8))
+
+    def add_batch(self, values) -> "HyperLogLog":
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(
+            pd.Series(values).astype(str), index=False
+        ).to_numpy().astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)  # remaining 64-p bits, left-aligned
+        # rank = position of first set bit in the remaining bits (1-based),
+        # computed vectorized via float64 log2 of the left-aligned value
+        rank = np.where(
+            rest == 0, 64 - self.p + 1,
+            (64 - np.floor(np.log2(rest.astype(np.float64) + 0.5)) - 1 + 1)
+        ).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        return HyperLogLog(self.p, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.power(2.0, -self.registers.astype(np.float64)).sum()
+        if est <= 2.5 * m:  # small-range correction
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * math.log(m / zeros)
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, p: int, raw: bytes) -> "HyperLogLog":
+        return cls(p, np.frombuffer(raw, dtype=np.uint8).copy())

@@ -80,3 +80,28 @@ def test_bloom_no_false_negatives_and_low_fp():
     # serialization roundtrip
     back = BloomFilter.from_bytes(merged.m_bits, merged.k, merged.to_bytes())
     assert back.contains_batch(np.array(keys[:100])).all()
+
+
+def test_hll_accuracy_and_merge():
+    from anomaly_detection_spark.sketches import HyperLogLog
+
+    a = HyperLogLog(12)
+    b = HyperLogLog(12)
+    a.add_batch(np.array([f"x{i}" for i in range(60_000)]))
+    b.add_batch(np.array([f"x{i}" for i in range(30_000, 90_000)]))  # overlap
+    merged = a.merge(b)
+    est = merged.estimate()
+    assert abs(est - 90_000) / 90_000 < 0.05
+    # merge == single-pass build
+    c = HyperLogLog(12).add_batch(np.array([f"x{i}" for i in range(90_000)]))
+    assert abs(merged.estimate() - c.estimate()) / c.estimate() < 0.03
+    # serialization roundtrip
+    back = HyperLogLog.from_bytes(12, merged.to_bytes())
+    assert back.estimate() == merged.estimate()
+
+
+def test_hll_small_range():
+    from anomaly_detection_spark.sketches import HyperLogLog
+
+    h = HyperLogLog(12).add_batch(np.array(["a", "b", "c", "a"]))
+    assert abs(h.estimate() - 3) < 0.5

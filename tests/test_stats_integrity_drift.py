@@ -170,3 +170,14 @@ def test_iforest_check_spark(spark):
     flagged = {(r["grp"], r["rid"]) for r in out.filter("code = -1").collect()}
     assert ("g1", 400) in flagged and ("g2", 400) in flagged
     assert len(flagged) <= 10  # few false positives
+
+
+def test_hll_distinct_spark(spark, corpus):
+    from anomaly_detection_spark.operators.stats import hll_distinct
+
+    got = {r["part_key"]: r["n_distinct_approx"]
+           for r in hll_distinct(corpus, "path", "lang").collect()}
+    exact = {r["lang"]: r["d"] for r in corpus.groupBy("lang").agg(
+        F.countDistinct("path").alias("d")).collect()}
+    for lang, d in exact.items():
+        assert abs(got[lang] - d) / max(d, 1) < 0.08, (lang, got[lang], d)

@@ -92,3 +92,45 @@ def test_stream_foreach_batch_checkpoint(spark, tmp_path):
     finally:
         q.stop()
     assert sum(n for _, n in seen) == 20
+
+
+def test_stateful_ema_across_microbatches(spark, tmp_path):
+    """EMA state must carry across micro-batches and equal the batch
+    operator's output on the concatenated series."""
+    import pandas as pd
+    from anomaly_detection_spark.streaming.stateful import streaming_ema_check
+
+    src = str(tmp_path / "ema_in")
+    schema = "key string, order double, value double"
+    vals1 = [10.0, 12.0, 11.0, 13.0]
+    vals2 = [150.0, 12.0, 11.0]
+    spark.createDataFrame(
+        [("k", float(i), v) for i, v in enumerate(vals1)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_ema_check(stream, N=3, LL=0.0, UL=40.0,
+                              warning_stages=(0.9,))
+    q = (out.writeStream.format("memory").queryName("ema_state")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [("k", float(len(vals1) + i), v) for i, v in enumerate(vals2)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["order"]: (r["ema"], r["code"]) for r in
+               spark.sql("SELECT * FROM ema_state").collect()}
+    finally:
+        q.stop()
+
+    all_vals = vals1 + vals2
+    expect = pd.Series(all_vals).ewm(alpha=0.5, adjust=False).mean()
+    assert len(got) == len(all_vals)
+    for i in range(len(all_vals)):
+        ema, code = got[float(i)]
+        assert ema == pytest.approx(expect[i], rel=1e-9), i
+    # the 150.0 spike (index 4): EMA = (12+150)/2 = 81 > UL=40 -> error
+    assert got[4.0][1] == -1
+    assert got[0.0][1] in (0, 1)
