@@ -1,0 +1,253 @@
+"""Declarative check-suite compilation from reference-style JSON configs.
+
+The reference instantiates detectors by ``eval()``-ing class-name strings
+from a JSON config (/root/reference/src/consumer.py:266-274 — an
+anti-pattern this engine deliberately avoids): a config names algorithms
+(``anomaly_detection_alg``) and per-algorithm parameter dicts
+(``anomaly_detection_conf``) with keys like UL/LL/warning_stages/N/X
+(README.md:68-92). :func:`compile_config` accepts THAT SAME config shape
+and compiles it to DataFrame transformations — a reference user can point
+their existing JSON at this engine.
+
+Input contract: a DataFrame in the reference's message shape —
+``(ts, ftr_vector array<double>)`` plus a series key column — or any
+table with an explicit numeric column. Each detector contributes a
+``code_<i>_<name>`` int column (OK=1/Warning=0/Error=-1/Undefined=2);
+``status_code`` is the OR-combination (min), matching how the reference
+reports a record that any detector flagged.
+
+Unsupported algorithms (GAN, Trend_Classification as MLP, RRCF,
+fb_Prophet model fit) raise ``UnsupportedAlgorithm`` with the documented
+nearest-equivalent — never silently skipped.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class UnsupportedAlgorithm(ValueError):
+    pass
+
+
+_NEAREST = {
+    "GAN": "multivariate reconstruction drift ~= iforest_check + drift checks",
+    "Trend_Classification": "use trend_classification_check (sign-of-slope)",
+    "RRCF_trees": "inherently sequential; nearest: iforest_check",
+    "fb_Prophet": "band semantics: asof.asof_band_check on a forecast table",
+}
+
+
+def _clean_alg(name: str) -> str:
+    return name.strip().removesuffix("()")
+
+
+def compile_detector(
+    alg: str, conf: dict, *, keys, order: str, value: str,
+) -> Callable[[DataFrame], DataFrame]:
+    """One detector config -> a transform df -> df + 'code' column."""
+    alg = _clean_alg(alg)
+    ws = tuple(conf.get("warning_stages") or ())
+    UL, LL = conf.get("UL"), conf.get("LL")
+
+    if alg == "BorderCheck":
+        from anomaly_detection_spark.operators.constraints import border_check
+
+        def t(df):
+            return df.withColumn(
+                "code", border_check(F.col(value).cast("double"), LL, UL, ws))
+        return t
+
+    if alg == "EMA":
+        from anomaly_detection_spark.operators.sequential import ema_check
+
+        def t(df):
+            extra = [c for c in df.columns
+                     if c not in (keys, order, value)]
+            return ema_check(df, keys, order, value, N=conf["N"], LL=LL,
+                             UL=UL, warning_stages=ws, extra_cols=extra)
+        return t
+
+    if alg == "EMA_Percentile":
+        from anomaly_detection_spark.operators.sequential import (
+            ema_percentile_check,
+        )
+
+        def t(df):
+            extra = [c for c in df.columns if c not in (keys, order, value)]
+            return ema_percentile_check(
+                df, keys, order, value,
+                N=conf.get("N", conf.get("period", 9)),
+                percentile=100.0 - conf["percentile"]
+                if conf["percentile"] < 50 else conf["percentile"],
+                window=conf["window"], extra_cols=extra)
+        return t
+
+    if alg == "Welford":
+        from anomaly_detection_spark.operators.windowed import (
+            welford_streaming, welford_windowed,
+        )
+        N, X = conf.get("N"), conf.get("X", 3.0)
+
+        def t(df):
+            if N:
+                return welford_windowed(df, keys, order, value, N=N, X=X,
+                                        warning_stages=ws)
+            return welford_streaming(df, keys, order, value, X=X,
+                                     warning_stages=ws)
+        return t
+
+    if alg == "Percentile":
+        from anomaly_detection_spark.operators.windowed import percentile_check
+
+        def t(df):
+            return percentile_check(
+                df, keys, order, value,
+                buff_size=conf.get("buff_size", conf.get("window", 20)),
+                percentile=conf["percentile"]
+                if conf["percentile"] > 50 else 100.0 - conf["percentile"])
+        return t
+
+    if alg == "Hampel":
+        from anomaly_detection_spark.operators.windowed import hampel
+
+        def t(df):
+            return hampel(df, keys, order, value, W=conf["W"],
+                          n_sigmas=conf.get("n_sigmas", 3.0),
+                          K=conf.get("K", 1.4826),
+                          suggested="suggested_value")
+        return t
+
+    if alg == "MACD":
+        from anomaly_detection_spark.operators.sequential import macd_check
+
+        def t(df):
+            extra = [c for c in df.columns if c not in (keys, order, value)]
+            return macd_check(df, keys, order, value,
+                              period1=conf["period1"], period2=conf["period2"],
+                              LL=LL, UL=UL, warning_stages=ws,
+                              extra_cols=extra)
+        return t
+
+    if alg == "Cumulative":
+        from anomaly_detection_spark.operators.sequential import (
+            cumulative_check,
+        )
+
+        def t(df):
+            extra = [c for c in df.columns if c not in (keys, order, value)]
+            return cumulative_check(df, keys, order, value,
+                                    averaging=conf["averaging"],
+                                    decay=conf["decay"], warning_stages=ws,
+                                    extra_cols=extra)
+        return t
+
+    if alg == "LinearFit":
+        from anomaly_detection_spark.operators.windowed import linear_fit_check
+
+        def t(df):
+            return linear_fit_check(df, keys, order, value, N=conf["N"],
+                                    LL=LL, UL=UL, warning_stages=ws)
+        return t
+
+    if alg == "Filtering":
+        from anomaly_detection_spark.operators.sequential import (
+            filtering_check,
+        )
+
+        def t(df):
+            extra = [c for c in df.columns if c not in (keys, order, value)]
+            return filtering_check(
+                df, keys, order, value, filter_order=conf["filter_order"],
+                cutoff_frequency=conf["cutoff_frequency"],
+                mode=conf.get("mode", 0), LL=LL, UL=UL, warning_stages=ws,
+                extra_cols=extra)
+        return t
+
+    if alg == "IsolationForest":
+        from anomaly_detection_spark.operators.mvoutlier import iforest_check
+
+        def t(df):
+            feats = conf.get("features") or [value]
+            extra = [c for c in df.columns
+                     if c not in feats and c != keys]
+            return iforest_check(
+                df, keys, feats,
+                n_trees=conf.get("max_features", 100)
+                if conf.get("max_features", 0) > 10 else 100,
+                max_train=conf.get("max_samples", 20_000),
+                contamination=conf.get("contamination", 0.01),
+                extra_cols=extra)
+        return t
+
+    if alg == "PCA":
+        from anomaly_detection_spark.operators.mvoutlier import (
+            pca_iforest_check,
+        )
+
+        def t(df):
+            feats = conf.get("features") or [value]
+            extra = [c for c in df.columns if c not in feats and c != keys]
+            return pca_iforest_check(
+                df, keys, feats, n_components=conf.get("N_components", 2),
+                contamination=conf.get("contamination", 0.01),
+                extra_cols=extra)
+        return t
+
+    if alg == "Clustering":
+        from anomaly_detection_spark.operators.clustering import (
+            clustering_check_grouped,
+        )
+
+        def t(df):
+            feats = conf.get("features") or [value]
+            extra = [c for c in df.columns if c not in feats and c != keys]
+            return clustering_check_grouped(
+                df, keys, feats, eps=conf["eps"],
+                min_samples=conf["min_samples"],
+                treshold=conf["treshold"], extra_cols=extra)
+        return t
+
+    if alg in _NEAREST:
+        raise UnsupportedAlgorithm(f"{alg}: out of v1 scope — {_NEAREST[alg]}")
+    raise UnsupportedAlgorithm(f"unknown algorithm {alg!r}")
+
+
+def compile_config(
+    config: dict | str, *, keys: str = "series", order: str = "ts",
+    value: str = "value",
+) -> Callable[[DataFrame], DataFrame]:
+    """Reference-shape config -> transform producing one verdict column per
+    detector (code_<i>_<alg>) plus the OR-combined ``status_code``."""
+    if isinstance(config, str):
+        with open(config) as f:
+            config = json.load(f)
+    algs = config["anomaly_detection_alg"]
+    confs = config["anomaly_detection_conf"]
+    compiled = [
+        (f"code_{i}_{_clean_alg(a).lower()}",
+         compile_detector(a, c, keys=keys, order=order, value=value))
+        for i, (a, c) in enumerate(zip(algs, confs))
+    ]
+
+    def run(df: DataFrame) -> DataFrame:
+        from anomaly_detection_spark.operators.combination import combine_or
+
+        out = df
+        code_cols = []
+        for name, t in compiled:
+            checked = t(out)
+            # per-detector ops name their verdict 'code'; rename + join back
+            joined_keys = [keys, order]
+            out = out.join(
+                checked.select(*joined_keys, F.col("code").alias(name)),
+                on=joined_keys, how="left",
+            )
+            code_cols.append(name)
+        return out.withColumn("status_code", combine_or(code_cols))
+
+    return run
