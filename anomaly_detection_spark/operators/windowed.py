@@ -74,7 +74,7 @@ def welford_streaming(
 def hampel(
     df: DataFrame, keys, order: str, value: str, *,
     W: int, n_sigmas: float = 3.0, K: float = 1.4826,
-    out: str = "code", suggested: str | None = None,
+    out: str = "code", suggested: str | None = None, offset: int = 0,
 ) -> DataFrame:
     """Centered Hampel filter (/root/reference/src/algorithms/hampel.py:88-98,
     documented semantics: the checked sample is the window CENTER; the
@@ -84,9 +84,13 @@ def hampel(
     Exact median via sort of the collected frame (2W+1 values, odd) —
     all JVM higher-order functions, no UDF. Edge rows (incomplete window)
     are Undefined.
+
+    ``offset`` shifts the frame off-center: offset=-1 reproduces the
+    reference's memory[W+1] indexing (window [r-W-1, r+W-1] around the
+    checked row) bug-for-bug for differential parity tests.
     """
     w = _w(keys, order)
-    frame = w.rowsBetween(-W, W)
+    frame = w.rowsBetween(-W + offset, W + offset)
     arr = F.array_sort(F.collect_list(F.col(value)).over(frame))
     n = F.size(arr)
     med = F.element_at(arr, (n / 2 + 1).cast("int"))  # exact for odd n
