@@ -192,7 +192,8 @@ def ema_percentile_check(
                                          interpolation="linear").to_numpy()
         e = ema.to_numpy()
         code = np.where(
-            np.isnan(hi), 2, np.where((e > hi) | (e < lo), -1, 1)
+            np.isnan(hi), 2,
+            np.where((e > hi + 1e-9) | (e < lo - 1e-9), -1, 1)
         ).astype(np.int32)
         out = pdf[cols].copy()
         out["ema"] = e

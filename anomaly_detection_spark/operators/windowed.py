@@ -126,9 +126,13 @@ def percentile_check(
     hi = F.expr(f"percentile({value}, {percentile / 100.0})").over(frame)
     lo = F.expr(f"percentile({value}, {(100.0 - percentile) / 100.0})").over(frame)
     cnt = F.count(value).over(frame)
+    # 1e-9 margin: interpolated quantiles differ by ~1 ulp across engines
+    # (and partial-agg orders); values that close to the band edge count
+    # as inside so verdicts are reproducible bit-for-bit
     code = (
         F.when(cnt < buff_size, F.lit(UNDEFINED_CODE))
-        .when((F.col(value) > hi) | (F.col(value) < lo), F.lit(-1))
+        .when((F.col(value) > hi + 1e-9) | (F.col(value) < lo - 1e-9),
+              F.lit(-1))
         .otherwise(F.lit(1))
     )
     return df.withColumn(out, code)

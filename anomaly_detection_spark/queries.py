@@ -47,9 +47,11 @@ def q_flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+            # sums reach ~1e10 at sf0.1 where cross-engine partial-sum
+            # ordering leaves ~1e-5 absolute drift: round to cents
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
             .alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -60,9 +62,9 @@ def q_flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FLAGSHIP = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_discount), 6) AS avg_disc,
        count(*) AS count_order
@@ -227,7 +229,7 @@ WITH w AS (
          quantile_cont(value, 0.05) OVER ({_W_USER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lo
   FROM events)
 SELECT event_id,
-       CASE WHEN c < 20 THEN 2 WHEN value > hi OR value < lo THEN -1 ELSE 1 END AS code
+       CASE WHEN c < 20 THEN 2 WHEN value > hi + 1e-9 OR value < lo - 1e-9 THEN -1 ELSE 1 END AS code
 FROM w
 """
 
@@ -988,7 +990,7 @@ q AS (
          quantile_cont(ema, 0.05) OVER ({_W_USER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lo
   FROM e)
 SELECT event_id, round(ema, 6) AS ema,
-       CASE WHEN c < 20 THEN 2 WHEN ema > hi OR ema < lo THEN -1 ELSE 1 END AS code
+       CASE WHEN c < 20 THEN 2 WHEN ema > hi + 1e-9 OR ema < lo - 1e-9 THEN -1 ELSE 1 END AS code
 FROM q
 """
 

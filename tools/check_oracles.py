@@ -16,7 +16,8 @@ sys.path.insert(0, "/root/repo")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-SF_DIR = "/root/testdata/sf0.01"
+import os
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 
 
 def norm_cell(v):
