@@ -42,6 +42,16 @@ HEADLINE = [
     "simhash_signatures_documents",    # vectorized pandas UDF
     "cosine_topk_embeddings",          # broadcast crossJoin + HOF dot
     "iforest_embeddings",              # per-group numpy forest
+    "percentile_check_events",         # exact percentile windows
+    "linear_fit_events",               # regr_slope windows
+    "macd_check_events",               # dual-EMA recurrence
+    "cumulative_check_events",         # decayed cusum recurrence
+    "ema_percentile_events",           # EMA + rolling quantile
+    "time_averages_events",            # event-time range frames
+    "trend_classification_events",     # sign-of-slope convolution
+    "asof_band_check_events",          # as-of join band check
+    "clustering_embeddings",           # DBSCAN-core distance check
+    "combination_and_or_events",       # suite composition
 ]
 
 

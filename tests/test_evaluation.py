@@ -1,0 +1,54 @@
+"""F1 evaluation + grid search over a labeled synthetic series."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.evaluation import confusion, f1_score, grid_search
+from anomaly_detection_spark.operators.windowed import welford_windowed
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    """Random walk with planted labeled spikes."""
+    rng = np.random.default_rng(9)
+    vals = rng.normal(10, 1, 400)
+    labels = np.zeros(400, dtype=int)
+    for i in range(30, 400, 37):
+        vals[i] += 15.0
+        labels[i] = 1
+    rows = [("s", float(i), float(v), int(l))
+            for i, (v, l) in enumerate(zip(vals, labels))]
+    return spark.createDataFrame(
+        rows, "series string, ts double, value double, label int"
+    ).cache()
+
+
+def test_confusion_and_f1_exact(spark):
+    rows = [("s", float(i), c, l) for i, (c, l) in enumerate(
+        [(-1, 1), (-1, 1), (-1, 0), (1, 1), (1, 0), (2, 0)])]
+    df = spark.createDataFrame(rows, "series string, ts double, code int, label int")
+    c = confusion(df)
+    assert c == {"tp": 2, "fp": 1, "fn": 1, "tn": 2}
+    assert f1_score(df) == pytest.approx(2 * 2 / (2 * 2 + 1 + 1))
+
+
+def test_welford_detects_planted_spikes_with_good_f1(spark, labeled):
+    scored = welford_windowed(labeled, "series", "ts", "value", N=20, X=4.0)
+    f1 = f1_score(scored)
+    assert f1 > 0.8
+
+
+def test_grid_search_finds_better_X(spark, labeled):
+    def builder(df, *, X):
+        return welford_windowed(df, "series", "ts", "value", N=20, X=X)
+
+    best, best_f1, allr = grid_search(
+        labeled, builder, {"X": [0.5, 2.0, 4.0, 12.0]}
+    )
+    assert len(allr) == 4
+    # X=0.5 flags everything (bad precision), X=12 flags nothing (bad
+    # recall); a middle X must win
+    assert best["X"] in (2.0, 4.0)
+    assert best_f1 == max(f for _, f in allr)
+    assert best_f1 > 0.8
