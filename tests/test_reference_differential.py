@@ -31,7 +31,11 @@ def ref_modules():
     stubs = {}
     for name in ["kafka", "influxdb_client", "influxdb_client.client",
                  "influxdb_client.client.write_api", "matplotlib",
-                 "matplotlib.pyplot", "requests"]:
+                 "matplotlib.pyplot", "requests",
+                 # only needed so combination.py's transitive imports of
+                 # Filtering/IsolationForest/PCA resolve at import time
+                 "scipy", "scipy.signal", "sklearn", "sklearn.ensemble",
+                 "sklearn.decomposition"]:
         mod = types.ModuleType(name)
         stubs[name] = mod
     stubs["kafka"].KafkaProducer = object
@@ -232,3 +236,69 @@ def test_linear_fit_differential(spark, ref_modules, series):
     N = 8
     assert mine[N:] == ref[N:]
     assert all(c == 2 for c in mine[:N - 1]) and all(c == 2 for c in ref[:N])
+
+
+def test_combination_and_or_differential(spark, ref_modules, series):
+    """Combination with two sub-detectors under both determiners."""
+    import importlib
+    sys.path.insert(0, os.path.join(REF, "src"))
+    try:
+        comb_mod = importlib.import_module("algorithms.combination")
+    finally:
+        sys.path.remove(os.path.join(REF, "src"))
+
+    sub_confs = [
+        {"input_vector_size": 1, "UL": 20.0, "LL": -5.0,
+         "warning_stages": [0.9], "output": [], "output_conf": [{}]},
+        {"input_vector_size": 1, "N": 10, "X": 2.0, "warning_stages": [],
+         "filtering": "None", "output": [], "output_conf": [{}]},
+    ]
+    refs = {}
+    for det in ("AND()", "OR()"):
+        conf = {
+            "anomaly_algorithms": ["BorderCheck()", "Welford()"],
+            "anomaly_algorithms_configurations": sub_confs,
+            "status_determiner": det,
+            "status_determiner_conf": {},
+        }
+        refs[det] = run_reference(comb_mod.Combination, conf, series)
+
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.codes import ladder_code, normalized
+    from anomaly_detection_spark.operators.combination import (
+        combine_and,
+        combine_or,
+    )
+    from anomaly_detection_spark.operators.windowed import welford_windowed
+
+    df = series_df(spark, series)
+    checked = welford_windowed(
+        df, "series", "ts", "value", N=10, X=2.0, out="c_w"
+    ).withColumn(
+        "c_b", ladder_code(normalized(F.col("value"), -5.0, 20.0), (0.9,))
+    )
+    got_and = codes_of(checked.withColumn("code", combine_and(["c_b", "c_w"])))
+    got_or = codes_of(checked.withColumn("code", combine_or(["c_b", "c_w"])))
+    assert got_and == refs["AND()"]
+    assert got_or == refs["OR()"]
+
+
+def test_reference_percentile_is_broken(ref_modules):
+    """The reference's Percentile detector references self.buff_size which
+    configure never sets (percentile.py:43-47 vs :87) — it cannot process
+    a single message. Documented divergence: the engine implements the
+    DOCUMENTED band semantics (windowed.percentile_check) instead."""
+    import importlib
+    sys.path.insert(0, os.path.join(REF, "src"))
+    try:
+        pct_mod = importlib.import_module("algorithms.percentile")
+    finally:
+        sys.path.remove(os.path.join(REF, "src"))
+    det = pct_mod.Percentile()
+    det.configure({
+        "input_vector_size": 1, "percentile_range": [5, 95], "shift": 0,
+        "filtering": "None", "output": [], "output_conf": [{}],
+    })
+    with pytest.raises(AttributeError):
+        det.message_insert({"ftr_vector": [1.0], "timestamp": 1459926000.0})
