@@ -91,11 +91,13 @@ def corpus_constraint_codes(df: DataFrame, *,
                             warning_stages: Sequence[float] = (0.98,),
                             allowed_langs: Sequence[str] = (
                                 "python", "java", "go", "js", "rust", "c", "md",
-                            )) -> DataFrame:
+                            ),
+                            keep: Sequence[str] = ()) -> DataFrame:
     """The flagship check suite over the code corpus: one code column per
-    constraint plus sha256 row identity for violation parity."""
+    constraint plus sha256 row identity for violation parity. ``keep``
+    passes extra input columns through (e.g. a partition bucket)."""
     return df.select(
-        "row_id", "repo", "path", "commit", "lang",
+        "row_id", "repo", "path", "commit", "lang", *keep,
         F.sha2(F.col("content"), 256).alias("content_sha256"),
         F.length("content").alias("content_len"),
         not_null(F.col("path")).alias("c_path_not_null"),

@@ -44,11 +44,17 @@ def main(argv=None) -> int:
                    help="repo-hash buckets = resumable work units")
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--partitioned-input", action="store_true",
+                   help="input uses the catalog bucket layout: resume "
+                        "prunes the SCAN to pending buckets "
+                        "(PartitionFilters), not just the work")
     p.add_argument("--json", action="store_true", help="emit one JSON line")
     args = p.parse_args(argv)
 
     spark = build_session(args)
     t0 = time.time()
+
+    from anomaly_detection_spark.catalog import BUCKET_COL
 
     if args.input:
         corpus = spark.read.parquet(args.input)
@@ -58,9 +64,15 @@ def main(argv=None) -> int:
 
     from anomaly_detection_spark.operators.constraints import corpus_constraint_codes
 
-    checked = corpus_constraint_codes(corpus).withColumn(
-        "bucket", F.pmod(F.xxhash64("repo"), F.lit(args.partition_buckets))
-    )
+    if args.partitioned_input:
+        if BUCKET_COL not in corpus.columns:
+            raise SystemExit(
+                f"--partitioned-input requires a '{BUCKET_COL}' partition "
+                "column (write with catalog.write_partitioned)")
+        bucket = F.col(BUCKET_COL)
+    else:
+        bucket = F.pmod(F.xxhash64("repo"), F.lit(args.partition_buckets))
+
     code_cols = ["c_path_not_null", "c_commit_format", "c_lang_domain",
                  "c_content_len_border"]
 
@@ -68,13 +80,22 @@ def main(argv=None) -> int:
         from anomaly_detection_spark.audit import AuditLedger, run_partitioned_checks
 
         ledger = AuditLedger(spark, args.audit)
-        joined = corpus.withColumn(
-            "bucket", F.pmod(F.xxhash64("repo"), F.lit(args.partition_buckets))
-        ).join(
-            checked.select("row_id", *code_cols), on="row_id"
-        ).withColumn("content_len", F.length("content"))
+        if args.partitioned_input:
+            # static partition pruning for resume: committed buckets'
+            # FILES are never opened (PartitionFilters on the scan)
+            done = [int(r["partition_key"])
+                    for r in ledger.committed().select("partition_key")
+                    .distinct().collect()]
+            if done:
+                corpus = corpus.filter(~bucket.isin(done))
+            checked = corpus_constraint_codes(corpus, keep=[BUCKET_COL])
+        else:
+            checked = corpus_constraint_codes(corpus).withColumn(
+                BUCKET_COL, bucket)
         audit = run_partitioned_checks(
-            spark, joined, partition_col="bucket", value_col="content_len",
+            spark, checked.withColumn("content_len",
+                                      F.col("content_len").cast("double")),
+            partition_col=BUCKET_COL, value_col="content_len",
             code_cols=code_cols, ledger=ledger,
         )
         n_done = audit.count()
@@ -84,6 +105,7 @@ def main(argv=None) -> int:
         rows = totals["rows"] or 0
         errors = totals["errors"] or 0
     else:
+        checked = corpus_constraint_codes(corpus)
         agg = checked.agg(
             F.count(F.lit(1)).alias("rows"),
             sum(F.sum(F.when(F.col(c) == -1, 1).otherwise(0)) for c in code_cols)
