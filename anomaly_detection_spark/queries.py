@@ -1216,3 +1216,74 @@ REGISTRY.update({
     "pca_iforest_embeddings": (q_pca_iforest_embeddings, None),
     "periodic_repair_events": (q_periodic_repair_events, None),
 })
+
+
+def q_partition_verdicts_documents(spark, sf_dir) -> DataFrame:
+    """The audit row shape as a query: per partition (source), row count,
+    per-check error totals, and the pass/fail verdict the ledger commits
+    (fail iff any error) — the engine's north-star output, oracle-checked."""
+    from anomaly_detection_spark.operators.constraints import (
+        border_check, value_in_set,
+    )
+
+    d = _docs(spark, sf_dir)
+    checked = d.select(
+        "source",
+        value_in_set(F.col("lang"), ["en", "de", "fr", "es", "zh"])
+        .alias("c_lang"),
+        border_check(F.col("n_chars").cast("double"), 20.0, 2000.0, (0.9,))
+        .alias("c_len"),
+    )
+    err = (F.col("c_lang") == -1).cast("int") + (F.col("c_len") == -1).cast("int")
+    warn = (F.col("c_lang") == 0).cast("int") + (F.col("c_len") == 0).cast("int")
+    return (
+        checked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(err).alias("n_error"),
+            F.sum(warn).alias("n_warning"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("n_error") > 0, F.lit("fail")).otherwise(F.lit("pass")),
+        )
+    )
+
+
+SQL_PARTITION_VERDICTS = f"""
+WITH checked AS (
+  SELECT source,
+         CASE WHEN lang IS NULL THEN 2
+              WHEN lang IN ('en','de','fr','es','zh') THEN 1 ELSE -1 END AS c_lang,
+         {ladder_code_sql(_VN_NCHARS, (0.9,))} AS c_len
+  FROM documents)
+SELECT source, count(*) AS n_rows,
+       sum(CASE WHEN c_lang = -1 THEN 1 ELSE 0 END
+           + CASE WHEN c_len = -1 THEN 1 ELSE 0 END) AS n_error,
+       sum(CASE WHEN c_lang = 0 THEN 1 ELSE 0 END
+           + CASE WHEN c_len = 0 THEN 1 ELSE 0 END) AS n_warning,
+       CASE WHEN sum(CASE WHEN c_lang = -1 THEN 1 ELSE 0 END
+                     + CASE WHEN c_len = -1 THEN 1 ELSE 0 END) > 0
+            THEN 'fail' ELSE 'pass' END AS verdict
+FROM checked GROUP BY source
+"""
+
+
+def q_hll_distinct_events(spark, sf_dir) -> DataFrame:
+    """Explicit mergeable-HLL sketch path (mapInPandas partials +
+    register max-merge); rows-only — the estimate is approximate by
+    construction so no exact oracle exists."""
+    from anomaly_detection_spark.operators.stats import hll_distinct
+
+    out = hll_distinct(_events(spark, sf_dir), "user_id", "event_type")
+    return out.select(
+        F.col("part_key").alias("event_type"),
+        F.round("n_distinct_approx", 2).alias("n_distinct_approx"),
+    )
+
+
+REGISTRY.update({
+    "partition_verdicts_documents": (q_partition_verdicts_documents,
+                                     SQL_PARTITION_VERDICTS),
+    "hll_distinct_events": (q_hll_distinct_events, None),
+})
