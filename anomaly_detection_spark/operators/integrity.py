@@ -96,7 +96,10 @@ def build_bloom(
     partial bitset row per partition, OR-merged on the driver. Driver traffic
     is O(partitions x filter_size), independent of row count."""
     if expected_items is None:
-        expected_items = df.select(F.approx_count_distinct(key)).first()[0] or 1
+        # row count upper-bounds distinct count and, for parquet, comes
+        # from footer statistics — no data scan (vs approx_count_distinct
+        # which reads the column); oversizing a Bloom only lowers its fpp
+        expected_items = df.count() or 1
     proto = BloomFilter.sized_for(int(expected_items), fpp)
     m_bits, k = proto.m_bits, proto.k
 
