@@ -52,13 +52,17 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep one row per distinct content (min id wins). Implemented as a
-    window-free aggregate join so the big side shuffles once on digest."""
-    keep = (
-        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("digest"))
-        .groupBy("digest").agg(F.min(id_col).alias(id_col))
+    """Keep one row per distinct content (min id wins): one scan, one
+    shuffle on the digest, rank-1 filter. (An aggregate + semi-join
+    formulation scans and hashes the table twice.)"""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    return df.join(keep, on=id_col, how="left_semi")
 
 
 # ---------------------------------------------------------------------------

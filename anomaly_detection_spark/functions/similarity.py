@@ -57,9 +57,25 @@ def cosine_topk(
         c.crossJoin(F.broadcast(q))
         .withColumn("cosine", dot / (F.col("_qn") * F.col("_cn")))
     )
+    # Two-level top-k: a global rank window would funnel EVERY corpus row
+    # of a query through one task. Partial top-k per scan partition
+    # (sorted-array truncation inside a hash aggregate), then the final
+    # rank runs over queries x partitions x k rows — tiny at any scale.
+    partial = (
+        scored.groupBy(query_id, F.spark_partition_id().alias("_pid"))
+        .agg(F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(
+                    F.col("cosine").alias("c"), F.col(id_col).alias("i"))),
+                asc=False,
+            ), 1, k).alias("_top"))
+        .select(query_id, F.explode("_top").alias("t"))
+        .select(query_id, F.col("t.i").alias(id_col),
+                F.col("t.c").alias("cosine"))
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cosine", "rank")
     )

@@ -64,9 +64,14 @@ def asof_band_check(
 ) -> DataFrame:
     """Prophet-style tolerance-interval verdict: -1 iff the observation
     falls outside the as-of bounds; rows before any bound are Undefined."""
-    joined = asof_join_backward(
-        obs, bounds, on=on, keys=keys, right_cols=[lower, upper]
-    )
+    if keys:
+        joined = asof_join_backward(
+            obs, bounds, on=on, keys=keys, right_cols=[lower, upper]
+        )
+    else:
+        joined = asof_join_broadcast(
+            obs, bounds, on=on, right_cols=[lower, upper]
+        )
     code = (
         F.when(F.col(lower).isNull() | F.col(upper).isNull(),
                F.lit(UNDEFINED_CODE))
@@ -75,3 +80,54 @@ def asof_band_check(
         .otherwise(F.lit(1))
     )
     return joined.withColumn(out, code)
+
+
+def asof_join_broadcast(
+    left: DataFrame, right: DataFrame, *, on: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """Keyless as-of against a SMALL right side (forecast grids, config
+    epochs): broadcast the sorted bound arrays and resolve each left row
+    with a vectorized ``np.searchsorted`` inside mapInPandas — zero
+    shuffle, scales with the left scan only.
+
+    The windowed :func:`asof_join_backward` degrades to a single task
+    when ``keys`` is empty (Window.partitionBy() has one partition);
+    use THIS variant for the keyless case.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = right.select(on, *right_cols).orderBy(on).collect()
+    spark = left.sparkSession
+    # numeric epoch for searchsorted; timestamps -> ns ints via pandas
+    ons = pd.Series([r[on] for r in rows])
+    on_vals = ons.astype("int64").to_numpy() if ons.dtype.kind == "M" \
+        else ons.to_numpy()
+    col_vals = {c: np.array([r[c] for r in rows], dtype=object)
+                for c in right_cols}
+    bc = spark.sparkContext.broadcast((on_vals, col_vals))
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields
+    ) + ", " + ", ".join(
+        f"`{c}` {right.schema[c].dataType.simpleString()}" for c in right_cols
+    )
+
+    def resolve(batches):
+        on_arr, cols = bc.value
+        for pdf in batches:
+            lv = pdf[on]
+            lv = lv.astype("int64").to_numpy() if lv.dtype.kind == "M" \
+                else lv.to_numpy()
+            idx = np.searchsorted(on_arr, lv, side="right") - 1
+            out = pdf.copy()
+            for c, vals in cols.items():
+                picked = np.empty(len(idx), dtype=object)
+                valid = idx >= 0
+                picked[valid] = vals[idx[valid]]
+                picked[~valid] = None
+                out[c] = picked
+            yield out
+
+    return left.mapInPandas(resolve, schema=out_fields)
