@@ -92,9 +92,12 @@ def psi_categorical(base: DataFrame, cur: DataFrame, col: str) -> DataFrame:
 # t-digest construction (distributed) + two-sample KS
 # ---------------------------------------------------------------------------
 
-def tdigest_of(df: DataFrame, value: str, *, delta: int = 200) -> TDigest:
-    """Per-partition digests via mapInPandas, merged driver-side. Driver
-    traffic: O(partitions x delta) centroids."""
+def tdigest_of(df: DataFrame, value: str, *, delta: int = 200,
+               merge_fanin: int = 16) -> TDigest:
+    """Per-partition digests via mapInPandas, tree-merged in executors
+    (one applyInPandas level over ``merge_fanin`` groups) before the
+    driver sees anything: at 100k input partitions the driver collects
+    ``merge_fanin`` digests, not 100k."""
 
     def partials(batches):
         d = TDigest(delta)
@@ -108,11 +111,27 @@ def tdigest_of(df: DataFrame, value: str, *, delta: int = 200) -> TDigest:
             m, w = d.to_arrays()
             yield pd.DataFrame({"means": [m.tolist()], "weights": [w.tolist()]})
 
-    rows = df.select(value).mapInPandas(
+    part_df = df.select(value).mapInPandas(
         partials, schema="means array<double>, weights array<double>"
-    ).collect()
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest(delta)
+        for m, w in zip(pdf["means"], pdf["weights"]):
+            d = d.merge(TDigest.from_arrays(m, w, delta))
+        mm, ww = d.to_arrays()
+        return pd.DataFrame({"means": [mm.tolist()], "weights": [ww.tolist()]})
+
+    merged = (
+        part_df.withColumn(
+            "_g", F.pmod(F.monotonically_increasing_id(), F.lit(merge_fanin))
+        )
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: merge_group(pdf),
+                       schema="means array<double>, weights array<double>")
+    )
     out = TDigest(delta)
-    for r in rows:
+    for r in merged.collect():
         out = out.merge(TDigest.from_arrays(r["means"], r["weights"], delta))
     return out
 

@@ -94,7 +94,12 @@ def build_bloom(
     """Build a Bloom filter of ``df[key]`` distributed: each executor folds
     its Arrow batches into a local bitset (vectorized double hashing), one
     partial bitset row per partition, OR-merged on the driver. Driver traffic
-    is O(partitions x filter_size), independent of row count."""
+    is O(partitions x filter_size), independent of row count.
+
+    Size bound: at fpp=0.01 the bitset is ~1.2 GB per 1e9 distinct keys,
+    which also becomes the broadcast size — beyond ~1e9 keys raise fpp
+    (the final answer stays exact; fpp only widens the verify set) or
+    fall back to the plain shuffled anti-join."""
     if expected_items is None:
         # row count upper-bounds distinct count and, for parquet, comes
         # from footer statistics — no data scan (vs approx_count_distinct
