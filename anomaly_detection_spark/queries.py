@@ -1287,3 +1287,77 @@ REGISTRY.update({
                                      SQL_PARTITION_VERDICTS),
     "hll_distinct_events": (q_hll_distinct_events, None),
 })
+
+
+def q_curation_gate_documents(spark, sf_dir) -> DataFrame:
+    """SQL-expressible slice of the curation pipeline: quality + token +
+    lang gates, then exact dedup (min doc_id per content digest)."""
+    from anomaly_detection_spark.functions.dedup import exact_dedup
+    from anomaly_detection_spark.functions.text import (
+        quality_score, ws_token_count,
+    )
+
+    d = _docs(spark, sf_dir).withColumn(
+        "quality", quality_score(F.col("text"))
+    ).withColumn("n_tokens", ws_token_count(F.col("text")))
+    gated = d.filter(
+        (F.col("quality") >= 0.3) & (F.col("n_tokens") >= 10)
+        & F.col("lang").isin(["en", "de", "fr", "es", "zh"])
+    )
+    out = exact_dedup(gated, "doc_id", "text")
+    return out.select("doc_id", F.round("quality", 6).alias("quality"),
+                      "n_tokens")
+
+
+SQL_CURATION_GATE = f"""
+WITH f AS (
+  SELECT doc_id, text, lang,
+         length(text) AS n,
+         {ws_token_count_sql('text')} AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_n,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS sym,
+         {_STOP_HITS} AS stopword_hits
+  FROM documents),
+q AS (
+  SELECT doc_id, text, lang, n_tokens,
+         (least(n / 50.0, 1.0)
+          + greatest(0.0, 1.0 - (CAST(sym AS DOUBLE) / greatest(n, 1)) / 0.3)
+          + (1.0 - least(CAST(upper_n AS DOUBLE) / greatest(alpha, 1), 1.0))
+          + least(stopword_hits / greatest(n_tokens / 10.0, 1.0), 1.0)) / 4.0
+         AS quality
+  FROM f),
+gated AS (
+  SELECT doc_id, text, quality, n_tokens,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM q
+  WHERE quality >= 0.3 AND n_tokens >= 10
+    AND lang IN ('en','de','fr','es','zh'))
+SELECT doc_id, round(quality, 6) AS quality, n_tokens
+FROM gated WHERE rn = 1
+"""
+
+
+def q_curation_full_documents(spark, sf_dir) -> DataFrame:
+    """The complete curation pipeline incl. MinHash near-dedup (rows-only:
+    LSH candidate generation is not SQL-expressible)."""
+    from anomaly_detection_spark.functions.curation import (
+        CurationConfig, curate,
+    )
+
+    curated, _ = curate(
+        _docs(spark, sf_dir),
+        config=CurationConfig(
+            min_quality=0.3,
+            allowed_langs=("en", "de", "fr", "es", "zh"),
+            jaccard_threshold=0.8,
+        ),
+    )
+    return curated.select("doc_id", F.round("quality", 6).alias("quality"),
+                          "n_tokens", "bpe_tokens")
+
+
+REGISTRY.update({
+    "curation_gate_documents": (q_curation_gate_documents, SQL_CURATION_GATE),
+    "curation_full_documents": (q_curation_full_documents, None),
+})

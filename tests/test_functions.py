@@ -269,3 +269,42 @@ def test_multimodal_plumbing(spark):
         "duration_ms", F.lit(1000)
     )
     assert audio_window_plan(auds, window_ms=500).count() == 4 * 2
+
+
+def test_curation_pipeline_end_to_end(spark, docs):
+    from anomaly_detection_spark.functions.curation import (
+        CurationConfig,
+        curate,
+    )
+    from pyspark.sql import functions as F
+
+    # corpus with planted exact copies and near-copies
+    base = docs.limit(300)
+    copies = base.filter(F.col("doc_id") < 4).withColumn(
+        "doc_id", F.col("doc_id") + 500_000
+    )
+    near = base.filter((F.col("doc_id") >= 4) & (F.col("doc_id") < 7)).select(
+        (F.col("doc_id") + 600_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = base.unionByName(copies).unionByName(near)
+
+    cfg = CurationConfig(min_quality=0.3, allowed_langs=("en", "de", "fr",
+                                                         "es", "zh"),
+                         jaccard_threshold=0.6)
+    curated, report = curate(corpus, config=cfg)
+    rep = {r["stage"]: (r["rows_in"], r["rows_out"]) for r in report.collect()}
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+
+    # exact copies dropped (min id wins -> originals survive)
+    assert rep["exact_dedup"][0] - rep["exact_dedup"][1] == 4
+    assert all(d + 500_000 not in ids for d in range(4))
+    assert {0, 1, 2, 3} <= ids
+    # near copies dropped by LSH stage (higher id loses)
+    dropped_near = rep["near_dedup"][0] - rep["near_dedup"][1]
+    assert dropped_near >= 2
+    assert 4 in ids and 5 in ids
+    # curated carries the accounting columns
+    assert {"quality", "n_tokens", "bpe_tokens"} <= set(curated.columns)
+    assert curated.filter("quality < 0.3").count() == 0
