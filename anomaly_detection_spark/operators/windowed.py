@@ -141,23 +141,31 @@ def percentile_check(
 def linear_fit_check(
     df: DataFrame, keys, order: str, value: str, *,
     N: int, LL: float, UL: float, warning_stages: Sequence[float] = (),
-    out: str = "code",
+    confidence_norm: float | None = None, out: str = "code",
 ) -> DataFrame:
     """Trend check (/root/reference/src/algorithms/linear_fit.py:86-108):
     OLS slope of the last N values against sample index (np.polyfit deg=1),
     border-checked. ``regr_slope`` over a bounded frame; x = per-series row
     number, which matches polyfit's 0..N-1 axis up to the constant offset
-    that slope is invariant to."""
+    that slope is invariant to.
+
+    ``confidence_norm`` reproduces the reference's fit-quality gate
+    (linear_fit.py:104-108): Undefined when SSE / current_value >
+    confidence_norm, with SSE = regr_syy - slope*regr_sxy (the exact
+    residual sum polyfit(full=True) returns)."""
     w = _w(keys, order)
     rn = F.row_number().over(w)
     dfx = df.withColumn("_x", rn.cast("double"))
-    slope = F.expr(f"regr_slope({value}, _x)").over(
-        _w(keys, order).rowsBetween(-(N - 1), 0)
-    )
+    frame = _w(keys, order).rowsBetween(-(N - 1), 0)
+    slope = F.expr(f"regr_slope({value}, _x)").over(frame)
     vn = 2.0 * (slope - (UL + LL) / 2.0) / (UL - LL)
-    code = F.when(rn < N, F.lit(UNDEFINED_CODE)).otherwise(
-        ladder_code(vn, warning_stages)
-    )
+    verdict = ladder_code(vn, warning_stages)
+    if confidence_norm is not None:
+        sse = (F.expr(f"regr_syy({value}, _x)").over(frame)
+               - slope * F.expr(f"regr_sxy({value}, _x)").over(frame))
+        verdict = F.when(sse / F.col(value) > confidence_norm,
+                         F.lit(UNDEFINED_CODE)).otherwise(verdict)
+    code = F.when(rn < N, F.lit(UNDEFINED_CODE)).otherwise(verdict)
     return dfx.withColumn(out, code).drop("_x")
 
 

@@ -302,3 +302,28 @@ def test_reference_percentile_is_broken(ref_modules):
     })
     with pytest.raises(AttributeError):
         det.message_insert({"ftr_vector": [1.0], "timestamp": 1459926000.0})
+
+
+def test_linear_fit_confidence_gate_differential(spark, ref_modules, series):
+    """With a REAL confidence_norm the reference gates poor fits to
+    Undefined; the engine's regr_syy/sxy SSE must gate the same rows."""
+    import importlib
+    sys.path.insert(0, os.path.join(REF, "src"))
+    try:
+        lf_mod = importlib.import_module("algorithms.linear_fit")
+    finally:
+        sys.path.remove(os.path.join(REF, "src"))
+    conf = {"N": 8, "UL": 2.0, "LL": -2.0, "warning_stages": [0.5],
+            "confidence_norm": 0.3, "max_memory": 8}
+    ref = run_reference(lf_mod.LinearFit, conf, series)
+
+    from anomaly_detection_spark.operators.windowed import linear_fit_check
+
+    df = series_df(spark, series)
+    mine = codes_of(linear_fit_check(df, "series", "ts", "value", N=8,
+                                     LL=-2.0, UL=2.0, warning_stages=(0.5,),
+                                     confidence_norm=0.3))
+    N = 8
+    assert mine[N:] == ref[N:]
+    # the gate actually fires somewhere on this series
+    assert 2 in mine[N:]
