@@ -32,6 +32,55 @@ def build_session(args) -> SparkSession:
                      shuffle_partitions=args.shuffle_partitions)
 
 
+def run_config_mode(spark: SparkSession, args, t0: float) -> int:
+    """The reference's file-replay workflow, Spark-first: reference-format
+    CSV/JSON -> config-compiled check suite -> verdicts sink (+ optional
+    F1 against a label column)."""
+    from anomaly_detection_spark.config import compile_config
+    from anomaly_detection_spark.sources.files import (
+        read_reference_csv, read_reference_json,
+    )
+
+    if not args.data:
+        raise SystemExit("--config requires --data <series.csv|.json>")
+    if args.data.endswith(".json"):
+        df = read_reference_json(spark, args.data)
+    else:
+        df = read_reference_csv(spark, args.data)
+        # keep label columns if present (pruned otherwise); join back on
+        # the timestamp — the series' natural key (unique per series file)
+        if args.evaluate:
+            raw = spark.read.option("header", True).csv(args.data)
+            if args.evaluate in raw.columns:
+                from pyspark.sql import functions as FF
+                lbl = raw.select(
+                    FF.timestamp_seconds(
+                        FF.when(FF.col("timestamp").cast("double") > 1e10,
+                                FF.col("timestamp").cast("double") / 1000.0)
+                        .otherwise(FF.col("timestamp").cast("double"))
+                    ).alias("ts"),
+                    FF.col(args.evaluate).cast("int").alias(args.evaluate),
+                )
+                df = df.join(lbl, "ts")
+
+    verdicts = compile_config(args.config)(df)
+    result = {"rows": verdicts.count(),
+              "errors": verdicts.filter("status_code = -1").count()}
+    if args.evaluate:
+        from anomaly_detection_spark.evaluation import f1_score
+        result["f1"] = round(
+            f1_score(verdicts, code_col="status_code",
+                     label_col=args.evaluate), 4)
+    if args.output:
+        verdicts.write.mode("overwrite").parquet(args.output)
+        result["output"] = args.output
+    else:
+        verdicts.orderBy("ts").show(20, truncate=False)
+    result["wall_s"] = round(time.time() - t0, 2)
+    print(json.dumps(result) if args.json else result)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="PySpark validation engine")
     p.add_argument("--input", default=None,
@@ -49,10 +98,22 @@ def main(argv=None) -> int:
                         "prunes the SCAN to pending buckets "
                         "(PartitionFilters), not just the work")
     p.add_argument("--json", action="store_true", help="emit one JSON line")
+    # reference-workflow mode (the `python main.py -f -c conf.json` path):
+    p.add_argument("--config", default=None,
+                   help="reference-shape JSON check-suite config; requires --data")
+    p.add_argument("--data", default=None,
+                   help="series file for --config mode (reference CSV/JSON format)")
+    p.add_argument("--output", default=None,
+                   help="verdict sink for --config mode (parquet path; default console)")
+    p.add_argument("--evaluate", default=None, metavar="LABEL_COL",
+                   help="score F1 of status_code==-1 against this label column")
     args = p.parse_args(argv)
 
     spark = build_session(args)
     t0 = time.time()
+
+    if args.config:
+        return run_config_mode(spark, args, t0)
 
     from anomaly_detection_spark.catalog import BUCKET_COL
 

@@ -136,3 +136,32 @@ def test_reference_json_source(spark, tmp_path):
     assert [len(r["ftr_vector"]) for r in df] == [2, 2]
     # ms timestamp promoted to the same wall-clock second
     assert abs((df[1]["ts"] - df[0]["ts"]).total_seconds()) < 1.0
+
+
+def test_cli_config_mode(spark, tmp_path, capsys):
+    """python -m anomaly_detection_spark.run --config ... --data ... ==
+    the reference's `main.py -f -c conf.json` workflow."""
+    import json as _json
+
+    from anomaly_detection_spark.run import main
+
+    cfg = tmp_path / "suite.json"
+    cfg.write_text(_json.dumps({
+        "anomaly_detection_alg": ["BorderCheck()"],
+        "anomaly_detection_conf": [{"UL": 4.0, "LL": 0.0,
+                                    "warning_stages": []}],
+    }))
+    data = tmp_path / "s.csv"
+    lines = ["timestamp,value,label,labelInfo"]
+    for i, (v, l) in enumerate([(1.0, 0), (1.1, 0), (9.0, 1), (0.9, 0)]):
+        lines.append(f"{1459926000 + i * 60},{v},{l},")
+    data.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "verdicts"
+
+    rc = main(["--config", str(cfg), "--data", str(data),
+               "--evaluate", "label", "--output", str(out), "--json"])
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 4 and res["errors"] == 1 and res["f1"] == 1.0
+    import glob
+    assert glob.glob(str(out) + "/*.parquet")
