@@ -327,3 +327,28 @@ def test_linear_fit_confidence_gate_differential(spark, ref_modules, series):
     assert mine[N:] == ref[N:]
     # the gate actually fires somewhere on this series
     assert 2 in mine[N:]
+
+
+def test_ema_percentile_differential(spark, ref_modules, series):
+    """start_on == window aligns the reference's warm-up with the engine's
+    rolling-window NaN gate; alpha = 2/(period+1) maps period -> N.
+    (With percentile < 50 the reference's [100-p, p] indexing inverts the
+    band — a latent bug; the differential uses p > 50 where it is
+    well-defined.)"""
+    import importlib
+    sys.path.insert(0, os.path.join(REF, "src"))
+    try:
+        ep_mod = importlib.import_module("algorithms.ema_percentile")
+    finally:
+        sys.path.remove(os.path.join(REF, "src"))
+    conf = {"percentile": 90, "window": 20, "start_on": 20, "period": 9}
+    ref = run_reference(ep_mod.EMA_Percentile, conf, series)
+
+    from anomaly_detection_spark.operators.sequential import (
+        ema_percentile_check,
+    )
+
+    df = series_df(spark, series)
+    mine = codes_of(ema_percentile_check(df, "series", "ts", "value",
+                                         N=9, percentile=90.0, window=20))
+    assert mine == ref
