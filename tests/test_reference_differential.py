@@ -352,3 +352,49 @@ def test_ema_percentile_differential(spark, ref_modules, series):
     mine = codes_of(ema_percentile_check(df, "series", "ts", "value",
                                          N=9, percentile=90.0, window=20))
     assert mine == ref
+
+
+def test_percent_score_determiner_differential(spark, ref_modules, series):
+    """Combination under the PercentScore determiner returns a float
+    meta-score; the engine's event-time range-frame percent_score must
+    reproduce it element-wise (approx: float sums)."""
+    import importlib
+    sys.path.insert(0, os.path.join(REF, "src"))
+    try:
+        comb_mod = importlib.import_module("algorithms.combination")
+    finally:
+        sys.path.remove(os.path.join(REF, "src"))
+    sub_confs = [
+        {"input_vector_size": 1, "UL": 20.0, "LL": -5.0,
+         "warning_stages": [0.9], "output": [], "output_conf": [{}]},
+        {"input_vector_size": 1, "N": 10, "X": 2.0, "warning_stages": [],
+         "filtering": "None", "output": [], "output_conf": [{}]},
+    ]
+    conf = {
+        "anomaly_algorithms": ["BorderCheck()", "Welford()"],
+        "anomaly_algorithms_configurations": sub_confs,
+        "status_determiner": "PercentScore()",
+        "status_determiner_conf": {"interval": 86400, "data_interval": 3600},
+    }
+    ref = run_reference(comb_mod.Combination, conf, series)
+
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.codes import ladder_code, normalized
+    from anomaly_detection_spark.operators.windowed import (
+        percent_score,
+        welford_windowed,
+    )
+
+    df = series_df(spark, series)
+    checked = welford_windowed(
+        df, "series", "ts", "value", N=10, X=2.0, out="c_w"
+    ).withColumn(
+        "c_b", ladder_code(normalized(F.col("value"), -5.0, 20.0), (0.9,))
+    )
+    out = percent_score(checked, "series", "ts", ["c_b", "c_w"],
+                        interval=86400, num_in_interval=24)
+    mine = [r["score"] for r in out.orderBy("ts").collect()]
+    assert len(mine) == len(ref)
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == pytest.approx(r, abs=1e-9), i
