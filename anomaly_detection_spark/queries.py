@@ -690,7 +690,10 @@ FROM f
 
 def q_fingerprint_documents(spark, sf_dir) -> DataFrame:
     """md5-gram variant of the rolling fingerprint (engine-agnostic hash so
-    the oracle can reproduce it bit-for-bit)."""
+    the oracle can reproduce it bit-for-bit). array_min(transform(...))
+    keeps the op NARROW (no shuffle): the interpreted-lambda overhead is
+    dwarfed by the MD5 cost per gram, and an explode+min-aggregate
+    formulation adds a full shuffle for no win (measured both)."""
     d = _docs(spark, sf_dir)
     text = F.col("text")
     n = F.length(text)
