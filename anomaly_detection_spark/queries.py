@@ -1364,3 +1364,93 @@ REGISTRY.update({
     "curation_gate_documents": (q_curation_gate_documents, SQL_CURATION_GATE),
     "curation_full_documents": (q_curation_full_documents, None),
 })
+
+
+def q_ngram_jaccard_documents(spark, sf_dir) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs over a planted-near-dup corpus
+    slice; fully SQL-expressible (set ops over shingle lists)."""
+    from anomaly_detection_spark.functions.dedup import ngram_jaccard_pairs
+
+    # plant near-copies WITHOUT a Union (Union + downstream self-join
+    # trips Spark's constraint rewrite, SPARK AttributeMap key-not-found):
+    # docs with doc_id < 5 explode into (original, tail-edited copy)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    both = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct((F.col("doc_id") + 100_000).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" tail")).alias("text")),
+    )
+    one = F.array(F.struct(F.col("doc_id"), F.col("text")))
+    corpus = d.select(
+        F.explode(F.when(F.col("doc_id") < 5, both).otherwise(one)).alias("r")
+    ).select("r.doc_id", "r.text")
+    out = ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_k=8,
+                              jaccard_threshold=0.6)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = """
+WITH u AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' tail' AS text
+  FROM documents WHERE doc_id < 5),
+sh AS (
+  SELECT doc_id, length(text) AS len,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 7, 1)),
+           i -> substr(text, i, 8))) AS s
+  FROM u),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+   AND b.len >= a.len * 0.8 AND a.len >= b.len * 0.8)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM pairs WHERE jaccard >= 0.6
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup over a clone-planted slice: LSH sign
+    buckets + exact verify. Identical vectors always share every bucket,
+    and the testdata has no mid-similarity pairs near the threshold, so
+    the approximate candidate stage is exact here and the SQL cross-join
+    oracle applies."""
+    from anomaly_detection_spark.functions.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).filter(F.col("vec_id") < 200)
+    clones = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    corpus = emb.unionByName(clones)
+    out = embedding_near_dup_pairs(corpus, "vec_id", "embedding",
+                                   cosine_threshold=0.95, n_planes=10)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH u AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 200
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 5)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+"""
+
+
+REGISTRY.update({
+    "ngram_jaccard_documents": (q_ngram_jaccard_documents, SQL_NGRAM_JACCARD),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+})
