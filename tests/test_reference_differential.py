@@ -398,3 +398,40 @@ def test_percent_score_determiner_differential(spark, ref_modules, series):
     assert len(mine) == len(ref)
     for i, (m, r) in enumerate(zip(mine, ref)):
         assert m == pytest.approx(r, abs=1e-9), i
+
+
+def test_long_series_differential_core_three(spark, ref_modules):
+    """Harden parity over a 1,500-point heavy-tailed series (EMA float
+    drift, Welford long-window stability, cumulative decay depth)."""
+    rng = np.random.default_rng(7)
+    vals = (np.cumsum(rng.standard_t(3, 1500) * 0.5) + 50.0).tolist()
+
+    from anomaly_detection_spark.operators.sequential import (
+        cumulative_check,
+        ema_check,
+    )
+    from anomaly_detection_spark.operators.windowed import welford_windowed
+
+    df = series_df(spark, vals)
+
+    ref = run_reference(ref_modules["EMA"],
+                        {"N": 12, "UL": 80.0, "LL": 20.0,
+                         "warning_stages": [0.9]}, vals)
+    got = codes_of(ema_check(df, "series", "ts", "value", N=12, LL=20.0,
+                             UL=80.0, warning_stages=(0.9,)))
+    assert got == ref
+
+    ref = run_reference(ref_modules["Welford"],
+                        {"N": 50, "X": 2.5, "warning_stages": [0.8],
+                         "filtering": "None"}, vals)
+    got = codes_of(welford_windowed(df, "series", "ts", "value", N=50,
+                                    X=2.5, warning_stages=(0.8,)))
+    assert got == ref
+
+    ref = run_reference(ref_modules["Cumulative"],
+                        {"averaging": 10, "decay": 0.02, "UL": 1.0,
+                         "LL": -1.0, "warning_stages": [0.5]}, vals)
+    got = codes_of(cumulative_check(df, "series", "ts", "value",
+                                    averaging=10, decay=0.02,
+                                    warning_stages=(0.5,)))
+    assert got == ref
