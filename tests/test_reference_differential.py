@@ -435,3 +435,63 @@ def test_long_series_differential_core_three(spark, ref_modules):
                                     averaging=10, decay=0.02,
                                     warning_stages=(0.5,)))
     assert got == ref
+
+
+def test_many_interleaved_series_equal_independent_reference_runs(
+        spark, ref_modules):
+    """The engine processes thousands of series in shared buckets; every
+    series' verdicts must equal an INDEPENDENT reference run on that
+    series alone (group isolation in the bucketed applyInPandas path)."""
+    rng = np.random.default_rng(11)
+    n_series, n_pts = 12, 60
+    series_vals = {
+        f"s{i:02d}": (np.cumsum(rng.normal(0, 1, n_pts)) + 10.0).tolist()
+        for i in range(n_series)
+    }
+    rows = []
+    for key, vals in series_vals.items():
+        for t, v in enumerate(vals):
+            rows.append((key, 1459926000.0 + t * 3600.0, float(v)))
+    # interleave + shuffle input order: the engine must not care
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "series string, ts double, value double")
+
+    from anomaly_detection_spark.operators.sequential import ema_check
+
+    out = ema_check(df, "series", "ts", "value", N=5, LL=-5.0, UL=25.0,
+                    warning_stages=(0.9,))
+    got = {
+        key: [r["code"] for r in grp]
+        for key, grp in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: (r["series"], r["ts"])),
+            key=lambda r: r["series"])
+    }
+    for key, vals in series_vals.items():
+        ref = run_reference(ref_modules["EMA"],
+                            {"N": 5, "UL": 25.0, "LL": -5.0,
+                             "warning_stages": [0.9]}, vals)
+        assert got[key] == ref, key
+
+
+def test_row_order_invariance(spark):
+    """Distributed inputs arrive in arbitrary order; every ordered check
+    must produce identical verdicts regardless (the reference simply
+    assumes in-order arrival — SURVEY.md §2.10)."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.operators.sequential import cumulative_check
+    from anomaly_detection_spark.operators.windowed import welford_windowed
+
+    rng = np.random.default_rng(13)
+    vals = (np.cumsum(rng.normal(0, 1, 300)) + 5.0).tolist()
+    df = series_df(spark, vals)
+    shuffled = df.orderBy(F.rand(seed=99)).repartition(7)
+
+    for op in (
+        lambda d: welford_windowed(d, "series", "ts", "value", N=10, X=2.0),
+        lambda d: cumulative_check(d, "series", "ts", "value",
+                                   averaging=5, decay=0.05),
+    ):
+        a = {r["ts"]: r["code"] for r in op(df).collect()}
+        b = {r["ts"]: r["code"] for r in op(shuffled).collect()}
+        assert a == b
