@@ -189,3 +189,33 @@ def partition_stat_drift(
         per_part, keys=F.lit(1), order=partition_col, value="part_mean",
         N=N, X=X, out=out,
     )
+
+
+def psi_categorical_by_group(
+    base: DataFrame, cur: DataFrame, group: str, col: str, *,
+    UL: float = 0.25, warning: float = 0.1,
+) -> DataFrame:
+    """Per-group categorical PSI: each group's category mix in ``cur``
+    vs ``base`` (e.g. per-source lang mix), with the drift verdict per
+    group. Two hash aggregates + one outer join on (group, category) —
+    fully distributed; no driver-side math."""
+    fb = base.groupBy(F.col(group).alias("g"), F.col(col).alias("cat")) \
+             .agg(F.count(F.lit(1)).alias("cb"))
+    fc = cur.groupBy(F.col(group).alias("g"), F.col(col).alias("cat")) \
+            .agg(F.count(F.lit(1)).alias("cc"))
+    joined = fb.join(fc, ["g", "cat"], "full_outer") \
+               .fillna(0, subset=["cb", "cc"])
+    from pyspark.sql import Window
+    wg = Window.partitionBy("g")
+    p = F.greatest(F.col("cb") / F.sum("cb").over(wg), F.lit(EPS))
+    q = F.greatest(F.col("cc") / F.sum("cc").over(wg), F.lit(EPS))
+    per_group = (
+        joined.withColumn("_term", (p - q) * F.log(p / q))
+        .groupBy("g").agg(F.sum("_term").alias("psi"))
+    )
+    code = (
+        F.when(F.col("psi") > UL, F.lit(-1))
+        .when(F.col("psi") > warning, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    return per_group.select(F.col("g").alias(group), "psi", code.alias("code"))

@@ -1454,3 +1454,42 @@ REGISTRY.update({
     "ngram_jaccard_documents": (q_ngram_jaccard_documents, SQL_NGRAM_JACCARD),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
 })
+
+
+def q_psi_by_source_documents(spark, sf_dir) -> DataFrame:
+    """Per-source language-mix drift: first vs second half of each source's
+    documents (PSI per group with drift verdicts)."""
+    from anomaly_detection_spark.operators.drift import psi_categorical_by_group
+
+    d = _docs(spark, sf_dir)
+    half = d.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    out = psi_categorical_by_group(
+        d.filter(F.col("doc_id") <= half), d.filter(F.col("doc_id") > half),
+        "source", "lang",
+    )
+    return out.select("source", F.round("psi", 6).alias("psi"), "code")
+
+
+SQL_PSI_BY_SOURCE = """
+WITH h AS (SELECT quantile_cont(doc_id, 0.5) AS m FROM documents),
+b AS (SELECT source AS g, lang AS cat, CAST(count(*) AS DOUBLE) AS cb
+      FROM documents, h WHERE doc_id <= m GROUP BY 1, 2),
+c AS (SELECT source AS g, lang AS cat, CAST(count(*) AS DOUBLE) AS cc
+      FROM documents, h WHERE doc_id > m GROUP BY 1, 2),
+j AS (SELECT coalesce(b.g, c.g) AS g, coalesce(b.cat, c.cat) AS cat,
+             coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+      FROM b FULL OUTER JOIN c ON b.g = c.g AND b.cat = c.cat),
+t AS (SELECT g,
+             greatest(cb / sum(cb) OVER (PARTITION BY g), 1e-6) AS p,
+             greatest(cc / sum(cc) OVER (PARTITION BY g), 1e-6) AS q
+      FROM j),
+s AS (SELECT g, sum((p - q) * ln(p / q)) AS psi FROM t GROUP BY g)
+SELECT g AS source, round(psi, 6) AS psi,
+       CASE WHEN psi > 0.25 THEN -1 WHEN psi > 0.1 THEN 0 ELSE 1 END AS code
+FROM s
+"""
+
+
+REGISTRY.update({
+    "psi_by_source_documents": (q_psi_by_source_documents, SQL_PSI_BY_SOURCE),
+})
