@@ -1493,3 +1493,38 @@ FROM s
 REGISTRY.update({
     "psi_by_source_documents": (q_psi_by_source_documents, SQL_PSI_BY_SOURCE),
 })
+
+
+def q_psi_numeric_events(spark, sf_dir) -> DataFrame:
+    """Numeric-distribution drift: PSI of the event-value distribution,
+    first vs second half of the time range, over fixed equi-width bins."""
+    from anomaly_detection_spark.operators.drift import psi_numeric
+
+    e = _events(spark, sf_dir)
+    mid = e.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
+    base = e.filter(F.unix_timestamp("ts") <= mid)
+    cur = e.filter(F.unix_timestamp("ts") > mid)
+    return psi_numeric(base, cur, "value", lo=0.0, hi=500.0, n_bins=10) \
+        .select(F.round("psi", 6).alias("psi"))
+
+
+SQL_PSI_NUMERIC = """
+WITH h AS (SELECT quantile_cont(floor(epoch(ts)), 0.5) AS m FROM events),
+binned AS (
+  SELECT CASE WHEN floor(epoch(ts)) <= (SELECT m FROM h) THEN 'b' ELSE 'c' END AS side,
+         least(greatest(CAST(floor((value - 0.0) / 50.0) AS INT), 0), 9) AS bin
+  FROM events),
+fb AS (SELECT bin, CAST(count(*) AS DOUBLE) AS cb FROM binned WHERE side = 'b' GROUP BY bin),
+fc AS (SELECT bin, CAST(count(*) AS DOUBLE) AS cc FROM binned WHERE side = 'c' GROUP BY bin),
+j AS (SELECT coalesce(fb.bin, fc.bin) AS bin, coalesce(cb, 0) AS cb,
+             coalesce(cc, 0) AS cc
+      FROM fb FULL OUTER JOIN fc ON fb.bin = fc.bin),
+t AS (SELECT greatest(cb / sum(cb) OVER (), 1e-6) AS p,
+             greatest(cc / sum(cc) OVER (), 1e-6) AS q FROM j)
+SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM t
+"""
+
+
+REGISTRY.update({
+    "psi_numeric_events": (q_psi_numeric_events, SQL_PSI_NUMERIC),
+})
