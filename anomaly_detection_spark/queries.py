@@ -1528,3 +1528,29 @@ SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM t
 REGISTRY.update({
     "psi_numeric_events": (q_psi_numeric_events, SQL_PSI_NUMERIC),
 })
+
+
+def q_periodic_avg_events(spark, sf_dir) -> DataFrame:
+    """Seasonal-lag means (anomaly_detection.py:348-382): mean of every
+    3rd past sample, 2 samples; NULL while lags are incomplete."""
+    from anomaly_detection_spark.operators.windowed import (
+        periodic_average_features,
+    )
+
+    out = periodic_average_features(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        period=3, counts=[2],
+    )
+    return out.select("event_id", F.round("pavg_3_2", 6).alias("pavg"))
+
+
+SQL_PERIODIC_AVG = f"""
+SELECT event_id,
+       round((value + lag(value, 3) OVER ({_W_USER})) / 2, 6) AS pavg
+FROM events
+"""
+
+
+REGISTRY.update({
+    "periodic_avg_events": (q_periodic_avg_events, SQL_PERIODIC_AVG),
+})
