@@ -23,11 +23,17 @@ from pyspark.sql import functions as F
 
 
 def build_session(args) -> SparkSession:
+    import os
+
     from anomaly_detection_spark.session import get_spark
 
     active = SparkSession.getActiveSession()
-    if active is not None:  # spark-submit provided one
+    if active is not None:
         return active
+    # under spark-submit (PYSPARK_GATEWAY_PORT set by its launcher) the
+    # master/deploy conf comes from the submit command — don't override it
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        return SparkSession.builder.appName("validation-engine").getOrCreate()
     return get_spark("validation-engine", cores=args.cores,
                      shuffle_partitions=args.shuffle_partitions)
 
