@@ -212,3 +212,74 @@ def pca_iforest_check(
         .groupBy(*keys_l)
         .applyInPandas(fn, schema=schema)
     )
+
+
+def recon_drift_check(
+    spark, df: DataFrame, keys, order: str, features: Sequence[str], *,
+    n_components: int = 2, K: float = 3.0, len_window: int = 20,
+    train_sample: int = 4096, seed: int = 0,
+    extra_cols: Sequence[str] = (), out: str = "code",
+) -> DataFrame:
+    """Reconstruction-error drift check — the reference's GAN detector
+    (/root/reference/src/algorithms/gan.py:147-179, 293-330) is a dense
+    autoencoder whose reconstruction MSE is compared against an
+    exponentially-weighted moving threshold K*wavg(last len_window
+    errors, incl. current). A LINEAR autoencoder is exactly PCA
+    (textbook equivalence), so the semantics are reproduced with a
+    numpy SVD model, no deep-learning dependency:
+
+      1. fit: driver-side sample -> (mu, top components)  [one model,
+         like the reference's single trained net]
+      2. score: per-row MSE of the rank-k reconstruction — whole-batch
+         matrix ops inside the bucketed per-series scan
+      3. verdict: err >= K * weighted_avg(trailing window, weights
+         exp(linspace(0,1,len_window)) tail-aligned) -> Error, matching
+         the reference's threshold recurrence exactly (window includes
+         the current error; partial tail weights during warm-up).
+    """
+    feats = list(features)
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+
+    base = df.select(*feats)
+    n = base.count()
+    sample = base if n <= train_sample else base.sample(
+        fraction=min(1.0, train_sample * 1.2 / n), seed=seed
+    ).limit(train_sample)
+    X = np.array([[r[c] for c in feats] for r in sample.collect()],
+                 dtype=np.float64)
+    mu = X.mean(axis=0)
+    _, _, Vt = np.linalg.svd(X - mu, full_matrices=False)
+    comps = Vt[:n_components]
+    bc = spark.sparkContext.broadcast((mu, comps))
+    full_w = np.exp(np.linspace(0, 1, len_window))
+
+    from anomaly_detection_spark.operators.sequential import (
+        _grouped, _out_schema, _per_series,
+    )
+
+    cols = list(keys_l) + [order] + list(extra_cols)
+
+    def one(g: pd.DataFrame) -> pd.DataFrame:
+        mu_, comps_ = bc.value
+        Xg = g[feats].to_numpy(dtype=np.float64)
+        recon = mu_ + (Xg - mu_) @ comps_.T @ comps_
+        err = ((Xg - recon) ** 2).mean(axis=1)
+        thr = np.empty(len(err))
+        # warm-up rows use the tail of the weight vector (reference
+        # weights[-len(window):]); full windows via sliding view
+        for i in range(min(len_window - 1, len(err))):
+            w = full_w[-(i + 1):]
+            thr[i] = K * np.dot(err[:i + 1], w) / w.sum()
+        if len(err) >= len_window:
+            sw = np.lib.stride_tricks.sliding_window_view(err, len_window)
+            thr[len_window - 1:] = K * (sw @ full_w) / full_w.sum()
+        o = g[cols].copy()
+        o["recon_err"] = err
+        o[out] = np.where(err >= thr, -1, 1).astype(np.int32)
+        return o
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _per_series(pdf, keys_l, one)
+
+    return _grouped(df.select(*cols, *feats), keys_l, order, fn,
+                    _out_schema(df, cols, f"recon_err double, {out} int"))

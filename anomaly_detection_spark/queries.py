@@ -1554,3 +1554,25 @@ FROM events
 REGISTRY.update({
     "periodic_avg_events": (q_periodic_avg_events, SQL_PERIODIC_AVG),
 })
+
+
+def q_recon_drift_events(spark, sf_dir) -> DataFrame:
+    """Reconstruction-error drift (linear-autoencoder==PCA form of the
+    reference's GAN check) over per-user 2-feature series: value and its
+    lag (the reference feeds shift-constructed vectors to the AE)."""
+    from anomaly_detection_spark.operators.mvoutlier import recon_drift_check
+    from anomaly_detection_spark.operators.windowed import shift_features
+
+    e = shift_features(_events(spark, sf_dir), "user_id", "ts", "value", [1])
+    e = e.filter(F.col("shift_1").isNotNull())
+    out = recon_drift_check(
+        spark, e, "user_id", "ts", ["value", "shift_1"],
+        n_components=1, K=4.0, len_window=20, extra_cols=("event_id",),
+    )
+    return out.select("event_id", F.round("recon_err", 6).alias("recon_err"),
+                      "code")
+
+
+REGISTRY.update({
+    "recon_drift_events": (q_recon_drift_events, None),
+})

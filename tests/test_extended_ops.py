@@ -162,3 +162,24 @@ def test_percent_score_alicante_counts_only_upper(spark):
     assert scores[1] == pytest.approx(0.5)   # 1.0 / max(2, 2)
     assert scores[2] == pytest.approx(1.0 / 3)
     assert scores[3] == pytest.approx(0.25)
+
+
+def test_recon_drift_check_flags_off_manifold(spark):
+    from anomaly_detection_spark.operators.mvoutlier import recon_drift_check
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for i, x in enumerate(rng.normal(0, 1, 300)):
+        rows.append(("s", float(i), float(x), float(2 * x + rng.normal(0, 0.02))))
+    rows.append(("s", 300.0, 0.0, 9.0))  # breaks the y=2x manifold
+    rows.append(("s", 301.0, 1.0, 2.0))  # back on manifold
+    df = spark.createDataFrame(rows, "series string, ts double, fx double, fy double")
+    out = recon_drift_check(
+        spark, df, "series", "ts", ["fx", "fy"], n_components=1,
+        K=5.0, len_window=20,
+    )
+    rowsb = {r["ts"]: (r["recon_err"], r["code"]) for r in out.collect()}
+    assert rowsb[300.0][1] == -1           # off-manifold spike flagged
+    assert rowsb[301.0][1] == 1            # recovery OK
+    flagged = [t for t, (_, c) in rowsb.items() if c == -1]
+    assert len(flagged) <= 6               # few false positives
