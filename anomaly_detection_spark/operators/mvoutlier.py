@@ -283,3 +283,76 @@ def recon_drift_check(
 
     return _grouped(df.select(*cols, *feats), keys_l, order, fn,
                     _out_schema(df, cols, f"recon_err double, {out} int"))
+
+
+def codisp_scores(forest: "IsolationForest", X: np.ndarray) -> np.ndarray:
+    """Batch Collusive Displacement (CoDisp) approximation — the scoring
+    rule of the reference's RRCF detector
+    (/root/reference/src/algorithms/rrcf_trees.py:98-117): for each point,
+    max over its root-to-leaf path of |sibling subtree| / |own subtree|,
+    averaged over trees. The reference maintains streaming insert/forget
+    trees (inherently sequential); this evaluates the same displacement
+    statistic on the batch-fitted random-cut trees — high CoDisp ==
+    isolating the point displaces many others == outlier."""
+    n = len(X)
+    if n == 0:
+        return np.empty(0)
+    total = np.zeros(n, dtype=np.float64)
+    for tree in forest.trees:
+        node = np.zeros(n, dtype=np.int64)
+        best = np.zeros(n, dtype=np.float64)
+        active = tree["feature"][node] != -1
+        while active.any():
+            f = tree["feature"][node[active]]
+            t = tree["threshold"][node[active]]
+            go_left = X[active, f] < t
+            left = tree["left"][node[active]]
+            right = tree["right"][node[active]]
+            nxt = np.where(go_left, left, right)
+            sib = np.where(go_left, right, left)
+            ratio = (tree["size"][sib].astype(np.float64)
+                     / np.maximum(tree["size"][nxt].astype(np.float64), 1.0))
+            best[active] = np.maximum(best[active], ratio)
+            node[active] = nxt
+            active = tree["feature"][node] != -1
+        total += best
+    return total / max(len(forest.trees), 1)
+
+
+def codisp_check(
+    df: DataFrame, keys, features: Sequence[str], *,
+    n_trees: int = 100, subsample: int = 256, max_train: int = 20_000,
+    threshold: float = 10.0, seed: int = 0,
+    extra_cols: Sequence[str] = (), out: str = "code",
+) -> DataFrame:
+    """Per-group CoDisp verdict: Error(-1) iff mean CoDisp >= threshold
+    (rrcf_trees.py's rule); groups under 8 rows Undefined."""
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    cols = list(keys_l) + list(extra_cols) + list(features)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = pdf[list(features)].to_numpy(dtype=np.float64)
+        out_pdf = pdf[list(keys_l) + list(extra_cols)].copy()
+        if len(X) < 8:
+            out_pdf["codisp"] = 0.0
+            out_pdf[out] = np.int32(2)
+            return out_pdf
+        train = X if len(X) <= max_train else X[
+            np.random.default_rng(seed).choice(len(X), max_train, replace=False)
+        ]
+        forest = IsolationForest(n_trees, subsample, seed).fit(train)
+        s = codisp_scores(forest, X)
+        out_pdf["codisp"] = s
+        out_pdf[out] = np.where(s >= threshold, -1, 1).astype(np.int32)
+        return out_pdf
+
+    in_schema = df.select(*(list(keys_l) + list(extra_cols))).schema
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema
+    ) + f", codisp double, {out} int"
+    return (
+        df.select(*cols)
+        .repartition(*[F.col(k) for k in keys_l])
+        .groupBy(*keys_l)
+        .applyInPandas(fn, schema=schema)
+    )

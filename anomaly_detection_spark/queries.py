@@ -1576,3 +1576,39 @@ def q_recon_drift_events(spark, sf_dir) -> DataFrame:
 REGISTRY.update({
     "recon_drift_events": (q_recon_drift_events, None),
 })
+
+
+def q_codisp_events(spark, sf_dir) -> DataFrame:
+    """RRCF-semantics CoDisp outlier check (batch displacement statistic
+    over random-cut trees) per event-type group on (value, lag) vectors."""
+    from anomaly_detection_spark.operators.mvoutlier import codisp_check
+    from anomaly_detection_spark.operators.windowed import shift_features
+
+    e = shift_features(_events(spark, sf_dir), "user_id", "ts", "value", [1])
+    e = e.filter(F.col("shift_1").isNotNull())
+    return codisp_check(
+        e, "event_type", ["value", "shift_1"], threshold=25.0,
+        n_trees=50, subsample=128, extra_cols=["event_id"],
+    ).select("event_id", "event_type",
+             F.round("codisp", 6).alias("codisp"), "code")
+
+
+def q_forecast_band_events(spark, sf_dir) -> DataFrame:
+    """Prophet-lite seasonal forecast band verdicts per user series
+    (daily seasonality over the hourly-ish event stream)."""
+    from anomaly_detection_spark.operators.forecast import forecast_band_check
+
+    e = _events(spark, sf_dir).withColumn(
+        "tsec", F.unix_timestamp("ts").cast("double")
+    )
+    out = forecast_band_check(
+        e, "user_id", "tsec", "value", period=86400.0, harmonics=2, z=4.0,
+        extra_cols=("event_id",),
+    )
+    return out.select("event_id", F.round("yhat", 6).alias("yhat"), "code")
+
+
+REGISTRY.update({
+    "codisp_events": (q_codisp_events, None),
+    "forecast_band_events": (q_forecast_band_events, None),
+})

@@ -183,3 +183,43 @@ def test_recon_drift_check_flags_off_manifold(spark):
     assert rowsb[301.0][1] == 1            # recovery OK
     flagged = [t for t, (_, c) in rowsb.items() if c == -1]
     assert len(flagged) <= 6               # few false positives
+
+
+def test_codisp_check_flags_outlier(spark):
+    from anomaly_detection_spark.operators.mvoutlier import codisp_check
+
+    rng = np.random.default_rng(23)
+    rows = [("g", i, float(x), float(y))
+            for i, (x, y) in enumerate(rng.normal(0, 1, (400, 2)))]
+    rows.append(("g", 400, 12.0, -12.0))
+    df = spark.createDataFrame(rows, "grp string, rid int, fx double, fy double")
+    out = codisp_check(df, "grp", ["fx", "fy"], threshold=30.0,
+                       extra_cols=["rid"])
+    rowsb = {r["rid"]: (r["codisp"], r["code"]) for r in out.collect()}
+    assert rowsb[400][1] == -1
+    flagged = [r for r, (_, c) in rowsb.items() if c == -1]
+    assert len(flagged) <= 8
+    # outlier's codisp dominates the bulk
+    bulk = np.median([c for r, (c, _) in rowsb.items() if r != 400])
+    assert rowsb[400][0] > 5 * bulk
+
+
+def test_forecast_band_check_seasonal(spark):
+    from anomaly_detection_spark.operators.forecast import forecast_band_check
+
+    rng = np.random.default_rng(29)
+    n, period = 240, 24.0
+    t = np.arange(n, dtype=float)
+    y = 10.0 + 0.01 * t + 3.0 * np.sin(2 * np.pi * t / period) \
+        + rng.normal(0, 0.2, n)
+    y[150] += 8.0  # break the seasonal pattern
+    df = spark.createDataFrame(
+        [("s", float(i), float(v)) for i, v in enumerate(y)],
+        "series string, ts double, value double",
+    )
+    out = forecast_band_check(df, "series", "ts", "value",
+                              period=period, harmonics=2, z=4.0)
+    codes = {r["ts"]: r["code"] for r in out.collect()}
+    assert codes[150.0] == -1
+    flagged = [t_ for t_, c in codes.items() if c == -1]
+    assert len(flagged) <= 5  # seasonal swing itself is NOT flagged
