@@ -1612,3 +1612,45 @@ REGISTRY.update({
     "codisp_events": (q_codisp_events, None),
     "forecast_band_events": (q_forecast_band_events, None),
 })
+
+
+def q_completeness_documents(spark, sf_dir) -> DataFrame:
+    """Schema completeness verdicts: per-column null rates vs budgets
+    (the data-level half of schema validation)."""
+    from anomaly_detection_spark.operators.schema import (
+        ColumnSpec, SchemaSpec, completeness_check,
+    )
+
+    spec = SchemaSpec(columns=[
+        ColumnSpec("text", "string", max_null_rate=0.0),
+        ColumnSpec("lang", "string", max_null_rate=0.0),
+        ColumnSpec("source", "string", max_null_rate=0.01),
+    ])
+    out = completeness_check(_docs(spark, sf_dir), spec)
+    return out.select(F.col("column").alias("col_name"),
+                      F.round("null_rate", 6).alias("null_rate"),
+                      F.round("max_null_rate", 6).alias("max_null_rate"),
+                      "code")
+
+
+SQL_COMPLETENESS = """
+WITH rates AS (
+  SELECT 'text' AS col_name,
+         avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) AS null_rate,
+         0.0 AS max_null_rate FROM documents
+  UNION ALL
+  SELECT 'lang', avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END), 0.0
+  FROM documents
+  UNION ALL
+  SELECT 'source', avg(CASE WHEN source IS NULL THEN 1.0 ELSE 0.0 END), 0.01
+  FROM documents)
+SELECT col_name, round(null_rate, 6) AS null_rate,
+       round(max_null_rate, 6) AS max_null_rate,
+       CASE WHEN null_rate > max_null_rate THEN -1 ELSE 1 END AS code
+FROM rates
+"""
+
+
+REGISTRY.update({
+    "completeness_documents": (q_completeness_documents, SQL_COMPLETENESS),
+})
