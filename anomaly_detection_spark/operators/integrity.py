@@ -140,27 +140,32 @@ def referential_violations_bloom(
     bc = spark.sparkContext.broadcast((bloom.m_bits, bloom.k, bloom.to_bytes()))
     key = fact_key
 
+    # Membership tests run over DISTINCT fact keys only — the Python/Arrow
+    # boundary never sees fact rows or non-key columns. NULL keys are
+    # definite violations (no match possible) and skip the bloom entirely.
     def miss_flag(batches):
         m_bits, k, raw = bc.value
         bf = BloomFilter.from_bytes(m_bits, k, raw)
         for pdf in batches:
             vals = pdf[key]
-            isnull = vals.isna().to_numpy()
-            hit = np.zeros(len(pdf), dtype=bool)
-            if (~isnull).any():
-                hit[~isnull] = bf.contains_batch(vals[~isnull].to_numpy())
             out = pdf.copy()
-            out["_bloom_hit"] = hit & ~isnull
+            out["_bloom_hit"] = bf.contains_batch(vals.to_numpy())
             yield out
 
-    schema_str = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in fact.schema.fields
-    ) + ", _bloom_hit boolean"
-    flagged = fact.mapInPandas(miss_flag, schema=schema_str)
-    definite = flagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
-    candidates = flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
-    false_pos = candidates.join(
-        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
-        on=fact_key, how="left_anti",
+    keys_df = fact.select(key).filter(F.col(key).isNotNull()).distinct()
+    flagged = keys_df.mapInPandas(
+        miss_flag,
+        schema=f"`{key}` {fact.schema[key].dataType.simpleString()}, "
+               "_bloom_hit boolean",
     )
-    return definite.unionByName(false_pos)
+    miss_keys = flagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
+    hit_keys = flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
+    # bloom false positives resolved exactly on the (small) hit-key set
+    fp_keys = hit_keys.join(
+        dim.select(F.col(dim_key).alias(key)).distinct(),
+        on=key, how="left_anti",
+    )
+    bad_keys = miss_keys.unionByName(fp_keys)
+    null_rows = fact.filter(F.col(key).isNull())
+    return fact.join(F.broadcast(bad_keys), on=key, how="left_semi") \
+               .unionByName(null_rows)
