@@ -51,21 +51,32 @@ def grid_search(
     *,
     label_col: str = "label",
     code_col: str = "code",
+    parallelism: int = 1,
 ) -> tuple[dict, float, list[tuple[dict, float]]]:
     """Evaluate every parameter combination of ``check_builder(df,
     **params) -> df+code`` by F1; returns (best_params, best_f1,
     all_results). The input is cached so the grid re-reads memory, not
     storage — the distributed analogue of GridSearchCV over
-    AnomalyDetectorWrapper."""
+    AnomalyDetectorWrapper. ``parallelism > 1`` submits candidates as
+    concurrent Spark jobs from driver threads (Spark's scheduler
+    interleaves their stages across the cluster)."""
     df = df.cache()
     try:
         names = list(param_grid)
-        results = []
-        for combo in itertools.product(*(param_grid[n] for n in names)):
-            params = dict(zip(names, combo))
+        combos = [dict(zip(names, c))
+                  for c in itertools.product(*(param_grid[n] for n in names))]
+
+        def evaluate(params):
             scored = check_builder(df, **params)
-            results.append((params, f1_score(scored, code_col=code_col,
-                                             label_col=label_col)))
+            return params, f1_score(scored, code_col=code_col,
+                                    label_col=label_col)
+
+        if parallelism > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                results = list(pool.map(evaluate, combos))
+        else:
+            results = [evaluate(p) for p in combos]
         best_params, best_f1 = max(results, key=lambda r: r[1])
         return best_params, best_f1, results
     finally:

@@ -52,3 +52,15 @@ def test_grid_search_finds_better_X(spark, labeled):
     assert best["X"] in (2.0, 4.0)
     assert best_f1 == max(f for _, f in allr)
     assert best_f1 > 0.8
+
+
+def test_grid_search_parallel_matches_serial(spark, labeled):
+    def builder(df, *, X):
+        return welford_windowed(df, "series", "ts", "value", N=20, X=X)
+
+    grid = {"X": [1.0, 3.0, 6.0]}
+    _, f_serial, r_serial = grid_search(labeled, builder, grid)
+    _, f_par, r_par = grid_search(labeled, builder, grid, parallelism=3)
+    assert f_serial == f_par
+    assert sorted((tuple(p.items()), f) for p, f in r_serial) == \
+           sorted((tuple(p.items()), f) for p, f in r_par)
