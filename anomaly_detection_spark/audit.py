@@ -61,6 +61,26 @@ class AuditLedger:
     def append(self, rows: DataFrame) -> None:
         rows.write.format(self.fmt).mode("append").save(self.path)
 
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the ledger into ``target_files`` files (append mode
+        creates one file set per commit; long-running ledgers accumulate
+        small files). Returns the row count. On Iceberg this maps to
+        rewrite_data_files; here: read -> coalesce -> atomic swap via a
+        temp directory."""
+        import shutil
+        import tempfile
+
+        df = self.committed()
+        n = df.count()
+        tmp = tempfile.mkdtemp(prefix="audit_compact_")
+        try:
+            df.coalesce(target_files).write.format(self.fmt)               .mode("overwrite").save(tmp + "/data")
+            shutil.rmtree(self.path)
+            shutil.move(tmp + "/data", self.path)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return n
+
 
 def run_partitioned_checks(
     spark: SparkSession,

@@ -96,3 +96,27 @@ def test_cli_smoke(spark, capsys):
 
     res = json.loads(out)
     assert res["rows"] == 5000 and res["errors"] > 0
+
+
+def test_ledger_compaction(spark, tmp_path):
+    import glob
+
+    df = checked_corpus(spark, n=8000, buckets=8).cache()
+    ledger = AuditLedger(spark, str(tmp_path / "audit_c"))
+    # three separate commits -> three file sets
+    for i, lo in enumerate([0, 3, 6]):
+        part = df.filter((F.col("bucket") >= lo) & (F.col("bucket") < lo + 3))
+        run_partitioned_checks(
+            spark, part, partition_col="bucket", value_col="content_len",
+            code_cols=CODE_COLS, ledger=ledger, run_id=f"r{i}",
+        )
+    before = ledger.committed().collect()
+    files_before = len(glob.glob(str(tmp_path / "audit_c") + "/*.parquet"))
+    n = ledger.compact(target_files=1)
+    files_after = len(glob.glob(str(tmp_path / "audit_c") + "/*.parquet"))
+    assert n == len(before) == 8
+    assert files_after < files_before and files_after == 1
+    # content identical after compaction
+    after = ledger.committed().collect()
+    key = lambda r: (r["partition_key"], r["run_id"])  # noqa: E731
+    assert sorted(map(key, before)) == sorted(map(key, after))
