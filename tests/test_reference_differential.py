@@ -495,3 +495,27 @@ def test_row_order_invariance(spark):
         a = {r["ts"]: r["code"] for r in op(df).collect()}
         b = {r["ts"]: r["code"] for r in op(shuffled).collect()}
         assert a == b
+
+
+def test_feature_construction_differential(spark, ref_modules, series):
+    """The reference's shift/average/periodic feature construction is
+    BROKEN in this snapshot: average_construction indexes a python list
+    with numpy syntax (self.memory[:,0], anomaly_detection.py:342,373,391)
+    and raises TypeError on the first full-memory sample — its own golden
+    tests (unit_tests.py:1043-1175) predate the regression. Pinned here;
+    the engine implements the documented semantics (mean of last k incl.
+    current, value k back), oracle-checked in
+    shift_avg_time_features_events."""
+    det = ref_modules["BorderCheck"]()
+    det.configure({
+        "input_vector_size": 1, "UL": 100.0, "LL": -100.0,
+        "warning_stages": [], "output": [], "output_conf": [{}],
+        "averages": [[2, 3]], "shifts": [[1, 2]],
+    })
+    base = 1459926000.0
+    warm = [det.feature_construction([float(v)], base + i * 3600.0)
+            for i, v in enumerate(series[:2])]
+    assert all(fv is False for fv in warm)  # warm-up path still works
+    with pytest.raises(TypeError):
+        for i, v in enumerate(series[2:6]):
+            det.feature_construction([float(v)], base + (i + 2) * 3600.0)
