@@ -81,3 +81,73 @@ def streaming_ema_check(stream_df, *, N: int, LL: float, UL: float,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def welford_state_fn(X: float, warning_stages: Sequence[float] = ()):
+    """Streaming Welford check across micro-batches: state = the engine's
+    mergeable (count, mean, M2) moments (sketches.welford_merge powers
+    the cross-batch continuation exactly like the audit sketches). Each
+    row is scored against the statistics of all PRIOR rows
+    (/root/reference/src/algorithms/welford.py:176-191 semantics: rows
+    0 and 1 Undefined, then vn = (v-mean)/(X*stddev_pop))."""
+    from anomaly_detection_spark.sketches import welford_merge
+
+    stages = sorted(warning_stages)
+
+    def fn(key: Tuple[Any, ...], batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        n0, mean0, m20 = state.get if state.exists else (0.0, 0.0, 0.0)
+        for pdf in batches:
+            pdf = pdf.sort_values("order").reset_index(drop=True)
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            # Row i's verdict uses all PRIOR rows (state + batch[0:i]).
+            # Vectorized prefix moments: counts/sums/sumsqs via cumsum,
+            # shifted by one so the current row is excluded.
+            cs = np.concatenate(([0.0], np.cumsum(v)[:-1]))
+            cq = np.concatenate(([0.0], np.cumsum(v * v)[:-1]))
+            cnt = n0 + np.arange(len(v), dtype=np.float64)
+            s0 = n0 * mean0
+            q0 = m20 + (n0 * mean0 * mean0 if n0 > 0 else 0.0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean_prior = (s0 + cs) / cnt
+                m2_prior = np.maximum(
+                    (q0 + cq) - (s0 + cs) ** 2 / np.where(cnt > 0, cnt, 1.0),
+                    0.0,
+                )
+                sd = np.sqrt(np.where(cnt > 0, m2_prior / np.where(cnt > 0, cnt, 1.0), 0.0))
+                vn = np.where(sd > 0, (v - mean_prior) / (X * sd), np.inf)
+            codes = np.ones(len(v), dtype=np.int32)
+            if stages:
+                codes[np.abs(vn) > stages[0]] = 0
+            codes[(vn > 1.0) | (vn < -1.0)] = -1
+            codes[cnt <= 1] = 2
+            # fold the whole batch into the carried moments (exact merge)
+            if len(v):
+                bn = float(len(v))
+                bmean = float(v.mean())
+                bm2 = float(((v - bmean) ** 2).sum())
+                n0, mean0, m20 = welford_merge((n0, mean0, m20),
+                                               (bn, bmean, bm2))
+            out = pdf[["key", "order"]].copy()
+            out["value"] = v
+            out["code"] = codes
+            yield out
+        state.update((float(n0), float(mean0), float(m20)))
+
+    return fn
+
+
+WELFORD_OUTPUT_SCHEMA = "key string, order double, value double, code int"
+WELFORD_STATE_SCHEMA = "n double, mean double, m2 double"
+
+
+def streaming_welford_check(stream_df, *, X: float,
+                            warning_stages: Sequence[float] = ()):
+    """stream_df columns: (key string, order double, value double)."""
+    return stream_df.groupBy("key").applyInPandasWithState(
+        welford_state_fn(X, warning_stages),
+        outputStructType=WELFORD_OUTPUT_SCHEMA,
+        stateStructType=WELFORD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

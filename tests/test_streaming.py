@@ -134,3 +134,49 @@ def test_stateful_ema_across_microbatches(spark, tmp_path):
     # the 150.0 spike (index 4): EMA = (12+150)/2 = 81 > UL=40 -> error
     assert got[4.0][1] == -1
     assert got[0.0][1] in (0, 1)
+
+
+def test_stateful_welford_across_microbatches(spark, tmp_path):
+    """Welford state (count/mean/M2) must carry across micro-batches and
+    equal the batch operator on the concatenated series."""
+    from anomaly_detection_spark.operators.windowed import welford_streaming
+    from anomaly_detection_spark.streaming.stateful import (
+        streaming_welford_check,
+    )
+
+    src = str(tmp_path / "wf_in")
+    schema = "key string, order double, value double"
+    vals1 = [10.0, 12.0, 11.0, 13.0, 12.0]
+    vals2 = [11.0, 80.0, 12.0]
+    spark.createDataFrame(
+        [("k", float(i), v) for i, v in enumerate(vals1)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_welford_check(stream, X=3.0)
+    q = (out.writeStream.format("memory").queryName("wf_state")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [("k", float(len(vals1) + i), v) for i, v in enumerate(vals2)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["order"]: r["code"] for r in
+               spark.sql("SELECT * FROM wf_state").collect()}
+    finally:
+        q.stop()
+
+    all_vals = vals1 + vals2
+    batch_df = spark.createDataFrame(
+        [("k", float(i), v) for i, v in enumerate(all_vals)],
+        "series string, ts double, value double",
+    )
+    expect = {float(i): c for i, c in enumerate(
+        [r["code"] for r in welford_streaming(
+            batch_df, "series", "ts", "value", X=3.0
+        ).orderBy("ts").collect()]
+    )}
+    assert got == expect
+    assert got[6.0] == -1  # the 80.0 spike, scored with cross-batch state
