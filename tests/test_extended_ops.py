@@ -223,3 +223,32 @@ def test_forecast_band_check_seasonal(spark):
     assert codes[150.0] == -1
     flagged = [t_ for t_, c in codes.items() if c == -1]
     assert len(flagged) <= 5  # seasonal swing itself is NOT flagged
+
+
+def test_sequential_bucketing_handles_hot_series(spark):
+    """One series with 30k rows among 500 tiny series: the bucketed
+    applyInPandas path must stay correct (hot series confined to one
+    bucket, verdicts equal an isolated run) and the task count stays at
+    the bucket bound, not the series count."""
+    from anomaly_detection_spark.operators.sequential import ema_check
+
+    rng = np.random.default_rng(31)
+    rows = [("hot", float(i), float(v))
+            for i, v in enumerate(np.cumsum(rng.normal(0, 1, 30_000)) + 50)]
+    for s in range(500):
+        for i, v in enumerate(rng.normal(50, 1, 5)):
+            rows.append((f"cold{s}", float(i), float(v)))
+    df = spark.createDataFrame(rows, "series string, ts double, value double")
+    out = ema_check(df, "series", "ts", "value", N=9, LL=0.0, UL=100.0,
+                    warning_stages=(0.9,))
+    assert out.count() == len(rows)
+    hot_mixed = {r["ts"]: r["code"]
+                 for r in out.filter("series = 'hot'").collect()}
+    solo = ema_check(
+        spark.createDataFrame([r for r in rows if r[0] == "hot"],
+                              "series string, ts double, value double"),
+        "series", "ts", "value", N=9, LL=0.0, UL=100.0,
+        warning_stages=(0.9,),
+    )
+    hot_solo = {r["ts"]: r["code"] for r in solo.collect()}
+    assert hot_mixed == hot_solo
