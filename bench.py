@@ -75,9 +75,13 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name][0]
-        t0 = time.time()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2: first run also pays codegen/JIT
+            t0 = time.time()
+            force(fn(spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
