@@ -519,3 +519,20 @@ def test_feature_construction_differential(spark, ref_modules, series):
     with pytest.raises(TypeError):
         for i, v in enumerate(series[2:6]):
             det.feature_construction([float(v)], base + (i + 2) * 3600.0)
+
+
+def test_negative_warning_stages_differential(spark, ref_modules, series):
+    """The reference's shipped configs use NEGATIVE warning stages (e.g.
+    configuration/ema.json: [0.3, -0.2]); a negative stage makes every
+    in-band value a warning under the reference's ascending-stage loop.
+    The engine's abs(vn) > min(stages) formulation must agree exactly."""
+    conf = {"N": 5, "UL": 15.0, "LL": -5.0, "warning_stages": [0.3, -0.2]}
+    ref = run_reference(ref_modules["EMA"], conf, series)
+
+    from anomaly_detection_spark.operators.sequential import ema_check
+
+    df = series_df(spark, series)
+    got = codes_of(ema_check(df, "series", "ts", "value", N=5, LL=-5.0,
+                             UL=15.0, warning_stages=(0.3, -0.2)))
+    assert got == ref
+    assert 0 in ref  # negative stage really forces warnings
