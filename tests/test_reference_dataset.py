@@ -32,9 +32,8 @@ def ads(spark):
     ).cache()
 
 
-def test_engine_matches_reference_on_ads1(spark, ads):
-    """31,416 real rows through Welford(N=30): engine verdict sequence ==
-    the reference detector's, element-wise."""
+def _ref_detector(module, cls, conf):
+    import importlib
     import sys
     import types
 
@@ -61,20 +60,30 @@ def test_engine_matches_reference_on_ads1(spark, ads):
     sys.modules.update(stubs)
     sys.path.insert(0, "/root/reference/src")
     try:
-        from algorithms.welford import Welford
+        det = getattr(importlib.import_module(module), cls)()
+        base = {"input_vector_size": 1, "warning_stages": [],
+                "filtering": "None", "output": [], "output_conf": [{}]}
+        base.update(conf)
+        det.configure(base)
+        return det, saved
+    except Exception:
+        for n, m in saved.items():
+            if m is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = m
+        raise
 
-        det = Welford()
-        det.configure({
-            "input_vector_size": 1, "N": 30, "X": 3.0,
-            "warning_stages": [], "filtering": "None",
-            "output": [], "output_conf": [{}],
-        })
-        rows = ads.orderBy("ts").collect()
-        ref_codes = []
+
+def _run_ref_on_rows(det, saved, rows):
+    import sys
+    try:
+        codes = []
         for r in rows:
             det.message_insert({"ftr_vector": [r["value"]],
                                 "timestamp": 1459926000.0 + r["ts"] * 100})
-            ref_codes.append(det.status_code)
+            codes.append(det.status_code)
+        return codes
     finally:
         sys.path.remove("/root/reference/src")
         for n, m in saved.items():
@@ -82,6 +91,14 @@ def test_engine_matches_reference_on_ads1(spark, ads):
                 sys.modules.pop(n, None)
             else:
                 sys.modules[n] = m
+
+
+def test_engine_matches_reference_on_ads1(spark, ads):
+    """31,416 real rows through Welford(N=30): engine verdict sequence ==
+    the reference detector's, element-wise."""
+    det, saved = _ref_detector("algorithms.welford", "Welford",
+                               {"N": 30, "X": 3.0})
+    ref_codes = _run_ref_on_rows(det, saved, ads.orderBy("ts").collect())
 
     from anomaly_detection_spark.operators.windowed import welford_windowed
 
@@ -111,3 +128,19 @@ def test_labeled_f1_pipeline_on_ads1(spark, ads):
     scored = builder(ads, X=best["X"])
     assert scored.filter("code = -1").count() > 0
     assert f1_score(scored) == pytest.approx(best_f1)
+
+
+def test_ema_matches_reference_on_ads1(spark, ads):
+    """Same 31,416 real rows through the EMA drift check."""
+    det, saved = _ref_detector(
+        "algorithms.ema", "EMA",
+        {"N": 30, "UL": 1.0, "LL": -0.2, "warning_stages": [0.9]},
+    )
+    ref_codes = _run_ref_on_rows(det, saved, ads.orderBy("ts").collect())
+
+    from anomaly_detection_spark.operators.sequential import ema_check
+
+    out = ema_check(ads, "series", "ts", "value", N=30, LL=-0.2, UL=1.0,
+                    warning_stages=(0.9,))
+    mine = [r["code"] for r in out.orderBy("ts").collect()]
+    assert mine == ref_codes
