@@ -43,62 +43,82 @@ class CurationConfig:
 def curate(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     lang_col: str = "lang", config: CurationConfig | None = None,
+    with_report: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (curated, report). ``curated`` = surviving rows with quality /
     token columns attached; ``report`` = one row per pipeline stage with
-    rows_in/rows_out (computed lazily from counters on the curated plan's
-    intermediates — each count is a cheap aggregate on an already-pruned
-    scan)."""
+    rows_in/rows_out.
+
+    Accounting is single-pass, not one count() per stage (which would
+    re-execute the whole upstream chain per counter): rows_in comes from
+    a column-pruned count on the raw scan (parquet metadata), the gate
+    and exact-dedup counters come from ONE conditional aggregation over
+    the ranked chain, and the near-dedup drop count reuses the
+    (persisted, small) loser-id set the anti-join consumes — so the
+    expensive gate/dedup chain executes once for the report and the
+    LSH chain once. ``with_report=False`` skips every counting job and
+    returns an empty report (pure lazy pipeline for production runs)."""
     cfg = config or CurationConfig()
-    stages = []
-    cur = df
 
-    def record(name, before, after):
-        stages.append((name, before, after))
-
-    n0 = cur.count()
-
-    # 1. row-local gates (fused into one scan by Catalyst)
-    q = quality_score(F.col(text_col))
-    cur = cur.withColumn("quality", q).withColumn(
+    # 1. row-local gates (fused into the scan by Catalyst — keep them as
+    # FILTERS so predicate pushdown shrinks the dedup shuffle)
+    cur = df.withColumn("quality", quality_score(F.col(text_col))).withColumn(
         "n_tokens", ws_token_count(F.col(text_col))
     )
-    gated = cur.filter(
-        (F.col("quality") >= cfg.min_quality)
-        & (F.col("n_tokens") >= cfg.min_tokens)
+    gate = (F.col("quality") >= cfg.min_quality) & (
+        F.col("n_tokens") >= cfg.min_tokens
     )
     if cfg.lang_from_text:
-        gated = lang_id_scored(gated, text_col, out="lang_pred").filter(
-            F.col("lang_pred").isin(list(cfg.allowed_langs))
-        )
+        cur = lang_id_scored(cur, text_col, out="lang_pred")
+        gate = gate & F.col("lang_pred").isin(list(cfg.allowed_langs))
     else:
-        gated = gated.filter(F.col(lang_col).isin(list(cfg.allowed_langs)))
-    n1 = gated.count()
-    record("quality_lang_gate", n0, n1)
+        gate = gate & F.col(lang_col).isin(list(cfg.allowed_langs))
+    gated = cur.filter(gate)
 
-    # 2. exact dedup (one digest shuffle)
-    exact = exact_dedup(gated, id_col, text_col)
-    n2 = exact.count()
-    record("exact_dedup", n1, n2)
+    # 2. exact dedup (one digest shuffle); the rank column doubles as the
+    # keeper marker for single-pass accounting
+    from pyspark.sql import Window
 
-    # 3. near-dedup: drop the higher-id member of each near-dup pair
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    ranked = gated.withColumn("_rn", F.row_number().over(w))
+    exact = ranked.filter(F.col("_rn") == 1).drop("_rn")
+
+    # 3. near-dedup: drop the higher-id member of each near-dup pair.
+    # The loser-id set is persisted (tiny: near-dup losers only) because
+    # it is consumed by both the drop count and the anti-join; no
+    # broadcast hint — at corpus scale the loser set may exceed the
+    # driver, so AQE picks the join strategy from its observed size.
+    losers = None
     if cfg.near_dedup:
         pairs = minhash_lsh_pairs(
             exact, id_col, text_col,
             jaccard_threshold=cfg.jaccard_threshold,
         )
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        final = exact.join(F.broadcast(losers), on=id_col, how="left_anti")
+        from pyspark.storagelevel import StorageLevel
+        losers = losers.persist(StorageLevel.MEMORY_AND_DISK)
+        final = exact.join(losers, on=id_col, how="left_anti")
     else:
         final = exact
-    n3 = final.count()
-    record("near_dedup", n2, n3)
 
     curated = final.withColumn(
         "bpe_tokens", bpe_ish_token_count(F.col(text_col))
     )
 
     spark = df.sparkSession
+    if not with_report:
+        return curated, spark.createDataFrame(
+            [], "stage string, rows_in long, rows_out long, dropped long")
+
+    n0 = df.count()  # column-pruned scan: parquet footer counts
+    c = ranked.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum((F.col("_rn") == 1).cast("long")).alias("n2"),
+    ).first()
+    n1, n2 = int(c["n1"]), int(c["n2"])
+    n3 = n2 - (losers.count() if losers is not None else 0)
+    stages = [("quality_lang_gate", n0, n1), ("exact_dedup", n1, n2),
+              ("near_dedup", n2, n3)]
     report = spark.createDataFrame(
         [(s, int(b), int(a), int(b - a)) for s, b, a in stages],
         "stage string, rows_in long, rows_out long, dropped long",

@@ -326,41 +326,94 @@ def simhash_near_dup_pairs(
 
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, *,
-    cosine_threshold: float = 0.95, n_planes: int = 12, seed: int = 0,
-    dim: int | None = None,
+    cosine_threshold: float = 0.95, n_planes: int = 12, n_tables: int = 4,
+    seed: int = 0, dim: int | None = None, max_bucket: int = 256,
 ) -> DataFrame:
-    """Cosine-near-duplicate pairs: random-hyperplane sign bucket (LSH for
-    cosine) as the join key, exact cosine verify within buckets. The
-    hyperplanes are seeded numpy, shipped as literal arrays (tiny)."""
+    """Cosine-near-duplicate pairs (id_a < id_b, cosine >= threshold) with
+    the same web-scale shape as :func:`minhash_lsh_pairs`:
+
+    1. bucket stage — ``n_tables`` independent random-hyperplane sign
+       buckets per vector, ALL computed in one numpy GEMM per Arrow batch
+       (``sign(X @ P.T)`` for the stacked ``n_tables*n_planes`` plane
+       matrix) inside ``mapInPandas``; output rows are NARROW
+       (id, table, bucket) — the dense vectors never ride the shuffle.
+    2. candidates — one shuffle groups ids per (table, bucket); pairs are
+       generated in-bucket with array combinatorics (NO self-join — a
+       self-join would recompute the scan+GEMM per side). Pathologically
+       hot buckets are dropped by ``max_bucket``; multiple tables bound
+       the false-negative rate (a near pair is missed only if it splits
+       in EVERY table).
+    3. verify — vectors are re-read only for docs appearing in a candidate
+       pair (broadcast semi-join pushdown), exact cosine on the pair join.
+    """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    planes = rng.normal(size=(n_tables * n_planes, dim))
+    shifts = np.arange(n_planes, dtype=np.int64)
 
-    def dot_with(plane):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        return F.zip_with(F.col(vec_col), arr, lambda a, b: a * b)
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (X @ planes.T >= 0).astype(np.int64)        # (n, T*P)
+            bits = bits.reshape(len(pdf), n_tables, n_planes)
+            bkt = (bits << shifts).sum(axis=2)                 # (n, T)
+            ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
+            yield pd.DataFrame({
+                "_id": ids,
+                "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                "bkt": bkt.reshape(-1),
+            })
 
-    bucket = None
-    for i, p in enumerate(planes):
-        s = F.aggregate(dot_with(p), F.lit(0.0), lambda acc, x: acc + x)
-        bit = F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** i)
-        bucket = bit if bucket is None else bucket + bit
+    banded = df.select(
+        F.col(id_col).cast("long").alias(id_col), vec_col
+    ).mapInPandas(bucketize, schema="_id bigint, tbl int, bkt bigint")
 
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-                     bucket.alias("_bkt"))
-    a, b = base.alias("a"), base.alias("b")
+    ids = F.array_sort(F.collect_list("_id"))
+    buckets = (
+        banded.groupBy("tbl", "bkt").agg(ids.alias("_ids"))
+        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_bucket))
+    )
+    sz = F.size("_ids")
+    pair_structs = F.flatten(F.transform(
+        F.col("_ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_ids"), i + 2, sz),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))),
+    ))
+    cand_ids = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    from pyspark.storagelevel import StorageLevel
+    cand_ids = cand_ids.persist(StorageLevel.MEMORY_AND_DISK)
+
+    cand_docs = cand_ids.select(F.col("id_a").alias("_id")).union(
+        cand_ids.select(F.col("id_b").alias("_id"))
+    ).distinct()
+    vecs = (
+        df.select(F.col(id_col).cast("long").alias("_id"),
+                  F.col(vec_col).alias("_v"))
+        .join(F.broadcast(cand_docs), "_id", "left_semi")
+    )
+    pairs = (
+        cand_ids
+        .join(vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("va")),
+              "id_a")
+        .join(vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")),
+              "id_b")
+    )
     dot = F.aggregate(
-        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     return (
-        a.join(b, (F.col("a._bkt") == F.col("b._bkt"))
-               & (F.col("a._id") < F.col("b._id")))
-        .withColumn("cosine", dot / (norm(F.col("a._v")) * norm(F.col("b._v"))))
+        pairs.withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
         .filter(F.col("cosine") >= cosine_threshold)
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
-                "cosine")
+        .select("id_a", "id_b", "cosine")
     )

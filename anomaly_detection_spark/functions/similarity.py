@@ -119,17 +119,35 @@ def cosine_topk_pandas(
     )
 
 
-def _bucket_expr(vec_col: str, planes: np.ndarray):
-    bucket = None
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        s = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        bit = F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** i)
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
+def sign_bucket_rows(
+    df: DataFrame, id_name: str, vec_col: str, planes: np.ndarray,
+    n_tables: int, n_planes: int,
+) -> DataFrame:
+    """(id, tbl, bkt) rows: all ``n_tables`` random-hyperplane sign
+    buckets per vector computed in ONE numpy GEMM per Arrow batch
+    (``sign(X @ P.T)`` over the stacked plane matrix) — a higher-order
+    `aggregate(zip_with(...))` formulation is interpreted per element and
+    measured ~an order slower on the corpus hot path (PLANS.md lesson #1).
+    Output is narrow: the dense vectors never leave the scan stage."""
+    shifts = np.arange(n_planes, dtype=np.int64)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (X @ planes.T >= 0).astype(np.int64)
+            bits = bits.reshape(len(pdf), n_tables, n_planes)
+            bkt = (bits << shifts).sum(axis=2)
+            yield pd.DataFrame({
+                id_name: np.repeat(pdf[id_name].to_numpy(), n_tables),
+                "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                "bkt": bkt.reshape(-1),
+            })
+
+    return df.select(
+        F.col(id_name).cast("long").alias(id_name), vec_col
+    ).mapInPandas(bucketize, schema=f"{id_name} bigint, tbl int, bkt bigint")
 
 
 def lsh_topk(
@@ -140,37 +158,38 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: per table, bucket = sign pattern over n_planes
     seeded hyperplanes; candidates = same (table, bucket) as the query in
-    ANY table; exact cosine re-rank on candidates only."""
+    ANY table; exact cosine re-rank on candidates only. Buckets for both
+    sides come from :func:`sign_bucket_rows` (one GEMM, narrow rows); the
+    corpus vectors are re-read only for candidate ids (semi-join
+    pushdown), so the re-rank HOF runs on the tiny candidate set."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables * n_planes, dim))
 
-    def with_buckets(df, idc):
-        out = df.select(F.col(idc), F.col(vec_col))
-        tables = []
-        for t in range(n_tables):
-            planes = rng.normal(size=(n_planes, dim))
-            tables.append(F.struct(F.lit(t).alias("tbl"),
-                                   _bucket_expr(vec_col, planes).alias("bkt")))
-        return out.select(
-            idc, vec_col, F.explode(F.array(*tables)).alias("tb")
-        ).select(idc, vec_col, "tb.tbl", "tb.bkt")
-
-    rng = np.random.default_rng(seed)
-    cb = with_buckets(corpus, id_col)
-    rng = np.random.default_rng(seed)  # same planes for the query side
-    qb = with_buckets(queries, query_id).withColumnRenamed(vec_col, "_qv")
+    cb = sign_bucket_rows(corpus, id_col, vec_col, planes, n_tables, n_planes)
+    qb = sign_bucket_rows(queries, query_id, vec_col, planes, n_tables,
+                          n_planes)
 
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bkt"])
+        .select(query_id, id_col)
         .dropDuplicates([query_id, id_col])
     )
+    cvec = (
+        corpus.select(F.col(id_col).cast("long").alias(id_col),
+                      F.col(vec_col).alias("_cv"))
+        .join(F.broadcast(cand.select(id_col).distinct()), id_col, "left_semi")
+    )
+    qvec = queries.select(F.col(query_id).cast("long").alias(query_id),
+                          F.col(vec_col).alias("_qv"))
+    scored = cand.join(cvec, id_col).join(F.broadcast(qvec), query_id)
     dot = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("_qv"), lambda a, b: a * b),
+        F.zip_with(F.col("_cv"), F.col("_qv"), lambda a, b: a * b),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    scored = cand.withColumn(
-        "cosine", dot / (_norm(F.col(vec_col)) * _norm(F.col("_qv")))
+    scored = scored.withColumn(
+        "cosine", dot / (_norm(F.col("_cv")) * _norm(F.col("_qv")))
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -80,6 +80,92 @@ def clustering_check_grouped(
     )
 
 
+def clustering_retrain_check(
+    df: DataFrame, keys, order: str, features: Sequence[str], *,
+    eps: float, min_samples: int, treshold: float,
+    retrain_interval: int, samples_for_retrain: int | None = None,
+    initial_train: np.ndarray | None = None,
+    extra_cols: Sequence[str] = (), out: str = "code",
+) -> DataFrame:
+    """Rolling-retrain DBSCAN-distance check — the reference's retrain
+    recurrence (shared across detectors; clustering's instance asserted by
+    /root/reference/src/unit_tests.py:819-864): every scored sample enters
+    a memory buffer trimmed to the trailing ``samples_for_retrain`` rows
+    (pre-seeded with the train file's tail); after ``retrain_interval``
+    samples since the last retrain, with the buffer full, the model refits
+    on the buffer and the counter resets.
+
+    DBSCAN core discovery is deterministic, so unlike the iForest variant
+    this reproduces the reference's retrain-flip verdict sequence
+    element-exact (golden-tested). ``initial_train`` plays the reference's
+    ``train_data`` file: it fits the epoch-0 model and seeds the memory;
+    without it, epoch-0 rows are Undefined(2). ``epoch`` in the output is
+    the reference's retrain_counter. Python loops only over EPOCHS."""
+    from anomaly_detection_spark.operators.sequential import (
+        _grouped, _out_schema, _per_series,
+    )
+
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    feats = list(features)
+    cols = list(keys_l) + [order] + list(extra_cols)
+    R = int(retrain_interval)
+    S = samples_for_retrain
+    init = (np.asarray(initial_train, dtype=np.float64)
+            if initial_train is not None else None)
+    mem0 = init if init is None or S is None else init[-S:]
+    init_cores = (_core_samples(init, eps, min_samples)
+                  if init is not None else None)
+
+    def one(g: pd.DataFrame) -> pd.DataFrame:
+        X = g[feats].to_numpy(dtype=np.float64)
+        n = len(X)
+        dist = np.full(n, np.inf)
+        code = np.full(n, 2, dtype=np.int32)
+        epoch = np.zeros(n, dtype=np.int32)
+        seeded = 0 if mem0 is None else len(mem0)
+        # fire schedule: counter >= R since last fire AND buffer full
+        fires, f = [], 0
+        while True:
+            nxt = f + R
+            if S is not None and seeded + nxt < S:
+                nxt = S - seeded  # wait for the buffer to fill
+                if nxt < f + R:
+                    nxt = f + R
+            if nxt > n:
+                break
+            fires.append(nxt)
+            f = nxt
+        bounds = fires + [n]
+        segments = [(0, bounds[0] if fires else n, init_cores, 0)]
+        for k, fi in enumerate(fires):
+            buf = X[:fi] if mem0 is None else np.vstack([mem0, X[:fi]])
+            if S is not None:
+                buf = buf[-S:]
+            cores = _core_samples(buf, eps, min_samples)
+            segments.append((fi, bounds[k + 1], cores, k + 1))
+        for lo, hi, cores, ep in segments:
+            if lo >= hi:
+                continue
+            epoch[lo:hi] = ep
+            if cores is None:
+                continue
+            d = _min_dist(X[lo:hi], cores)
+            dist[lo:hi] = d
+            code[lo:hi] = np.where(d >= treshold, -1, 1)
+        o = g[cols].copy()
+        o["min_core_dist"] = dist
+        o["epoch"] = epoch
+        o[out] = code
+        return o
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _per_series(pdf, keys_l, one)
+
+    return _grouped(df.select(*cols, *feats), keys_l, order, fn,
+                    _out_schema(df, cols,
+                                f"min_core_dist double, epoch int, {out} int"))
+
+
 def clustering_check_broadcast(
     spark: SparkSession, df: DataFrame, features: Sequence[str], *,
     eps: float, min_samples: int, treshold: float,

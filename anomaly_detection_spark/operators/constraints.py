@@ -85,6 +85,33 @@ def border_check(
     return ladder_code(normalized(value, LL, UL), warning_stages)
 
 
+def time_of_day_predicate(
+    ts: Column, target: Sequence[int], tolerance: Sequence[int]
+) -> Column:
+    """Time-of-day stream filter predicate
+    (/root/reference/src/consumer.py:195-221 ``filter_by_time``, duplicated
+    at anomaly_detection.py:64-81): keep a row iff
+    |time_of_day(ts) - target| < tolerance (strict), where both times are
+    combined onto the SAME calendar day — 23:59 vs a 00:01 target differs
+    by 23h58m, NOT 2min. The no-midnight-wraparound behavior is the
+    reference's (datetime.combine on a fixed date), reproduced
+    bug-for-bug. ``target``/``tolerance`` are (hours, minutes, seconds)
+    triples like the reference's config tuples."""
+    tod = F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)
+    tgt = int(target[0]) * 3600 + int(target[1]) * 60 + int(target[2])
+    tol = int(tolerance[0]) * 3600 + int(tolerance[1]) * 60 + int(tolerance[2])
+    return F.abs(tod - F.lit(tgt)) < F.lit(tol)
+
+
+def time_of_day_filter(
+    df: DataFrame, ts: str, target: Sequence[int], tolerance: Sequence[int]
+) -> DataFrame:
+    """Apply :func:`time_of_day_predicate` as a pushdown-friendly filter —
+    on an hour-partitioned table the predicate prunes partitions before
+    any scan."""
+    return df.filter(time_of_day_predicate(F.col(ts), target, tolerance))
+
+
 def corpus_constraint_codes(df: DataFrame, *,
                             len_LL: float = 10.0,
                             len_UL: float = 50_000.0,

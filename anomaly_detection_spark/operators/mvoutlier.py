@@ -38,6 +38,17 @@ def _c(n: float) -> float:
     return 2.0 * _harmonic(n - 1.0) - 2.0 * (n - 1.0) / n
 
 
+def _c_vec(n: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`_c` — whole-array log/ratio arithmetic, no
+    per-element Python (the scorer calls this once per tree per batch)."""
+    n = np.asarray(n, dtype=np.float64)
+    out = np.zeros_like(n)
+    m = n > 1.0
+    nm = n[m]
+    out[m] = 2.0 * (np.log(nm - 1.0) + 0.5772156649015329) - 2.0 * (nm - 1.0) / nm
+    return out
+
+
 class IsolationForest:
     """Array-encoded forest. Each tree: feature[i], threshold[i],
     left[i], right[i] (node indices; -1 => leaf), size[i] (training rows
@@ -109,7 +120,7 @@ class IsolationForest:
                 depth[active] += 1.0
                 active = tree["feature"][node] != -1
             leaf_sizes = tree["size"][node].astype(np.float64)
-            depth += np.array([_c(s) for s in np.clip(leaf_sizes, 1.0, None)])
+            depth += _c_vec(np.clip(leaf_sizes, 1.0, None))
             depths += depth
         avg = depths / max(len(self.trees), 1)
         return np.power(2.0, -avg / max(self._c_norm, 1e-12))
@@ -160,6 +171,72 @@ def iforest_check(
         .groupBy(*keys_l)
         .applyInPandas(fn, schema=schema)
     )
+
+
+def iforest_retrain_check(
+    df: DataFrame, keys, order: str, features: Sequence[str], *,
+    retrain_interval: int, samples_for_retrain: int | None = None,
+    n_trees: int = 100, subsample: int = 256,
+    score_threshold: float = 0.6, seed: int = 0,
+    extra_cols: Sequence[str] = (), out: str = "code",
+) -> DataFrame:
+    """Rolling-retrain iForest — the reference's ``retrain_interval`` /
+    ``samples_for_retrain`` semantics
+    (/root/reference/src/algorithms/isolation_forest.py:158-177, asserted
+    by its unit_tests.py:472-548 retrain_counter tests): every scored
+    sample is appended to a memory buffer trimmed to the trailing
+    ``samples_for_retrain`` rows; when ``retrain_interval`` samples have
+    arrived since the last retrain AND the buffer is full, the model is
+    refit on the buffer and the counter resets.
+
+    Batch re-imagining: the fire indices are deterministic given (R, S) —
+    first fire at max(R, S), then every R rows — so each series splits
+    into epochs; epoch k's rows are scored by a forest fit on the trailing
+    buffer ending at fire k (strictly earlier rows only, like the
+    reference's score-then-append order). Rows before the first fire are
+    Undefined(2) (warm-up — the reference scores them with a
+    file-pretrained model we don't have). The Python loop is over EPOCHS
+    (#rows / retrain_interval), never rows; fit/score are whole-array
+    numpy. ``epoch`` in the output is the reference's retrain_counter."""
+    from anomaly_detection_spark.operators.sequential import (
+        _grouped, _out_schema, _per_series,
+    )
+
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    feats = list(features)
+    cols = list(keys_l) + [order] + list(extra_cols)
+    R = int(retrain_interval)
+    S = samples_for_retrain
+
+    def one(g: pd.DataFrame) -> pd.DataFrame:
+        X = g[feats].to_numpy(dtype=np.float64)
+        n = len(X)
+        scores = np.zeros(n, dtype=np.float64)
+        code = np.full(n, 2, dtype=np.int32)
+        epoch = np.zeros(n, dtype=np.int32)
+        first = max(R, S or 0)
+        fires = list(range(first, n + 1, R))
+        for k, fi in enumerate(fires):
+            lo = 0 if S is None else max(0, fi - S)
+            end = fires[k + 1] if k + 1 < len(fires) else n
+            if fi >= end:
+                continue
+            forest = IsolationForest(n_trees, subsample, seed + k).fit(X[lo:fi])
+            s = forest.score(X[fi:end])
+            scores[fi:end] = s
+            code[fi:end] = np.where(s > score_threshold, -1, 1)
+            epoch[fi:end] = k + 1
+        o = g[cols].copy()
+        o["score"] = scores
+        o["epoch"] = epoch
+        o[out] = code
+        return o
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _per_series(pdf, keys_l, one)
+
+    return _grouped(df.select(*cols, *feats), keys_l, order, fn,
+                    _out_schema(df, cols, f"score double, epoch int, {out} int"))
 
 
 def pca_iforest_check(

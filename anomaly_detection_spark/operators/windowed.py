@@ -25,6 +25,20 @@ def _w(keys, order):
     return Window.partitionBy(*keys).orderBy(order)
 
 
+def _epoch_seconds(df: DataFrame, ts: Column) -> Column:
+    """Event time as epoch seconds. Inspects the analyzed dtype instead of
+    probing with a try/except cast — a caught AnalysisException prints a
+    full JVM stack into driver logs. Numeric columns cast directly;
+    timestamp/date columns go through unix_timestamp (ANSI mode forbids
+    timestamp->long casts)."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    dt = df.select(ts.alias("_t")).schema[0].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
+        return F.unix_timestamp(ts)
+    return ts.cast("long")
+
+
 def welford_windowed(
     df: DataFrame, keys, order: str, value: str, *,
     N: int, X: float, warning_stages: Sequence[float] = (),
@@ -179,13 +193,7 @@ def percent_score(
     max(num_in_interval, rows_in_window). Event-time range frame over
     integer epoch seconds (strict > now-interval == >= now-interval+1)."""
     ts = F.col(ts_seconds) if isinstance(ts_seconds, str) else ts_seconds
-    # event time as epoch seconds: numeric columns cast directly; timestamp
-    # columns need unix_timestamp (ANSI mode forbids timestamp->long casts)
-    try:
-        df.select(ts.cast("long")).schema  # analysis-only probe
-        tsec = ts.cast("long")
-    except Exception:
-        tsec = F.unix_timestamp(ts)
+    tsec = _epoch_seconds(df, ts)
     per_row = sum(
         F.when(F.col(c) == 0, 1.0).when(F.col(c) == -1, 2.0).otherwise(0.0)
         for c in codes
@@ -266,11 +274,7 @@ def time_average_features(df: DataFrame, keys, ts_seconds: str, value: str,
     for each period p seconds, the mean of values with timestamp in
     (t - p, t]. Event-time RANGE frames — no per-row Python, state O(frame)."""
     ts = F.col(ts_seconds)
-    try:
-        df.select(ts.cast("long")).schema
-        tsec = ts.cast("long")
-    except Exception:
-        tsec = F.unix_timestamp(ts)
+    tsec = _epoch_seconds(df, ts)
     keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
     for p in periods_s:
         w = (Window.partitionBy(*keys_l).orderBy(tsec)
@@ -314,11 +318,7 @@ def percent_score_alicante(
     percent_score but only statuses whose TEXT contains 'upper' score
     (warnings 1, errors 2); others contribute 0."""
     ts = F.col(ts_seconds) if isinstance(ts_seconds, str) else ts_seconds
-    try:
-        df.select(ts.cast("long")).schema
-        tsec = ts.cast("long")
-    except Exception:
-        tsec = F.unix_timestamp(ts)
+    tsec = _epoch_seconds(df, ts)
     per_row = sum(
         F.when(F.col(s).contains("upper") & F.col(s).startswith("Warning"), 1.0)
         .when(F.col(s).contains("upper") & F.col(s).startswith("Error"), 2.0)

@@ -82,6 +82,90 @@ def windowed_error_rates(
     )
 
 
+def warm_start_source(
+    spark: SparkSession, *, history_path: str, stream_dir: str, schema,
+    fmt: str = "parquet",
+):
+    """ConsumerFileKafka warm start (/root/reference/src/consumer.py:366-413):
+    the reference replays a bounded history file through the detectors
+    before attaching to the live Kafka topic. A batch frame cannot union
+    with a stream, but Structured Streaming's file source has the exact
+    semantics natively: every file already present in the monitored
+    directory is processed in the FIRST micro-batch (the bootstrap), later
+    arrivals stream incrementally. This stages the history file(s) into
+    the monitored directory (a driver-side metadata op) and returns the
+    stream; on the Kafka path the same warm start is
+    ``startingOffsets=earliest``."""
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(stream_dir, exist_ok=True)
+    matches = glob.glob(history_path)
+    if not matches:
+        raise FileNotFoundError(history_path)
+    for f in matches:
+        if os.path.isdir(f):
+            for part in glob.glob(os.path.join(f, "*")):
+                if os.path.isfile(part):
+                    shutil.copy(part, stream_dir)
+        else:
+            shutil.copy(f, stream_dir)
+    return stream_source(spark, path=stream_dir, schema=schema, fmt=fmt)
+
+
+def sink_filter(df: DataFrame, *, send_ok: bool = True,
+                code_col: str = "status_code") -> DataFrame:
+    """send_ok sink gate (/root/reference/src/output.py:22-26, applied at
+    output.py:199): when ``send_ok`` is False only anomalous verdicts
+    (code != OK) reach the sink — at corpus scale this predicate drops
+    ~all rows before the sink's shuffle/write."""
+    if send_ok:
+        return df
+    return df.filter(F.col(code_col) != 1)
+
+
+def kafka_sink_frame(
+    df: DataFrame, *, node_id, algorithm: str = "Unknown",
+    value: str = "value", status: str | None = None,
+    code_col: str = "status_code", ts: str | None = None,
+    suggested: str | None = None, send_ok: bool = True,
+) -> DataFrame:
+    """The reference KafkaOutput wire shape
+    (/root/reference/src/output.py:175-215) as a Kafka-writer-ready frame:
+    topic ``anomalies_<node_id>``, value = JSON
+    {algorithm[, value][, status][, timestamp][, status_code]
+    [, suggested_value]} with absent fields omitted (to_json drops nulls),
+    OK rows dropped unless ``send_ok``. Works for batch and streaming."""
+    out = sink_filter(df, send_ok=send_ok, code_col=code_col)
+    fields = [F.lit(algorithm).alias("algorithm")]
+    if value in out.columns:
+        fields.append(F.col(value).alias("value"))
+    if status and status in out.columns:
+        fields.append(F.col(status).alias("status"))
+    if ts and ts in out.columns:
+        fields.append(F.col(ts).alias("timestamp"))
+    fields.append(F.col(code_col).alias("status_code"))
+    if suggested and suggested in out.columns:
+        fields.append(F.col(suggested).alias("suggested_value"))
+    return out.select(
+        F.lit(f"anomalies_{node_id}").alias("topic"),
+        F.to_json(F.struct(*fields)).alias("value"),
+    )
+
+
+def write_kafka(df: DataFrame, *, servers: str, checkpoint: str, **frame_kw):
+    """writeStream -> Kafka in the reference's wire format (no broker in
+    the sandbox; the frame shape is unit-tested, this wires the sink)."""
+    frame = kafka_sink_frame(df, **frame_kw)
+    return (
+        frame.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def run_to_memory(result: DataFrame, name: str, *, mode: str = "append"):
     """Test/debug sink: writeStream into an in-memory table; returns the
     query (caller calls processAllAvailable() / stop())."""

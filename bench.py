@@ -52,6 +52,13 @@ HEADLINE = [
     "asof_band_check_events",          # as-of join band check
     "clustering_embeddings",           # DBSCAN-core distance check
     "combination_and_or_events",       # suite composition
+    # round 2 additions (totals are NOT comparable to BENCH_r01's 31-query
+    # suite; compare per-query timings)
+    "filtering_check_events",          # per-series Butterworth IIR
+    "repair_events",                   # feedback repair recurrence
+    "lsh_topk_embeddings",             # GEMM sign-bucket ANN
+    "iforest_retrain_events",          # rolling-retrain forests per epoch
+    "curation_gate_documents",         # fused quality gate + exact dedup
 ]
 
 

@@ -1,0 +1,263 @@
+"""Round-2 operator coverage: rolling-retrain iForest (the reference's
+retrain_interval/samples_for_retrain semantics), time-of-day filter,
+send_ok sink gate + Kafka wire frame, ConsumerFileKafka warm start, the
+vectorized iForest normalizer, and the single-pass curation report."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.operators.constraints import (
+    time_of_day_filter,
+    time_of_day_predicate,
+)
+from anomaly_detection_spark.operators.mvoutlier import (
+    _c,
+    _c_vec,
+    iforest_retrain_check,
+)
+from anomaly_detection_spark.streaming.stream import (
+    kafka_sink_frame,
+    run_to_memory,
+    sink_filter,
+    warm_start_source,
+)
+
+
+# ---------------------------------------------------------------------------
+# rolling retrain (ref isolation_forest.py:158-177; unit_tests.py:472-548)
+# ---------------------------------------------------------------------------
+
+def _shifting_series(spark, n=450, shift_at=250):
+    """Two-feature series whose regime jumps from ~(0,0) to ~(10,10) at
+    ``shift_at`` — deterministic jitter so verdicts are reproducible."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(n):
+        base = 0.0 if i < shift_at else 10.0
+        rows.append(("k", float(1_700_000_000 + i),
+                     base + float(rng.normal(0, 0.5)),
+                     base + float(rng.normal(0, 0.5))))
+    return spark.createDataFrame(
+        rows, "series string, ts double, f1 double, f2 double")
+
+
+def test_iforest_retrain_epoch_schedule(spark):
+    """epoch == the reference's retrain_counter: first fire at
+    max(R, S), then every R rows; warm-up rows Undefined."""
+    df = _shifting_series(spark, n=450)
+    out = iforest_retrain_check(
+        df, "series", "ts", ["f1", "f2"],
+        retrain_interval=50, samples_for_retrain=100,
+        n_trees=30, subsample=64,
+    ).orderBy("ts").collect()
+    epochs = [r["epoch"] for r in out]
+    codes = [r["code"] for r in out]
+    # rows 0-99 (before the first fire at 100): Undefined, epoch 0
+    assert all(c == 2 for c in codes[:100])
+    assert all(e == 0 for e in epochs[:100])
+    # fires at 100, 150, 200, ...: epoch k covers rows [fire_k, fire_k+R)
+    assert epochs[100] == 1 and epochs[149] == 1
+    assert epochs[150] == 2 and epochs[199] == 2
+    assert epochs[449] == (450 - 100) // 50  # last epoch
+    # every scored row got a definite verdict
+    assert all(c in (-1, 1) for c in codes[100:])
+
+
+def test_iforest_retrain_flip_after_regime_shift(spark):
+    """The retrain-flip the reference's tests assert: right after the
+    regime shift the (stale) model flags the new regime as anomalous;
+    once the trailing buffer refills with new-regime rows, the refit
+    model stops flagging them."""
+    df = _shifting_series(spark, n=450, shift_at=250)
+    out = iforest_retrain_check(
+        df, "series", "ts", ["f1", "f2"],
+        retrain_interval=50, samples_for_retrain=100,
+        n_trees=50, subsample=100,
+    ).orderBy("ts").collect()
+    codes = [r["code"] for r in out]
+    # rows 250-299 scored by the model fit on rows 150-250 (old regime)
+    stale = codes[250:300]
+    assert sum(c == -1 for c in stale) / len(stale) >= 0.6
+    # rows 350-399 scored by the model fit on rows 250-350 (new regime)
+    fresh = codes[350:400]
+    assert sum(c == -1 for c in fresh) / len(fresh) <= 0.1
+
+
+def test_c_vec_matches_scalar():
+    ns = np.array([1.0, 2.0, 3.0, 10.0, 256.0, 1e6])
+    np.testing.assert_allclose(_c_vec(ns), [_c(n) for n in ns], rtol=1e-12)
+
+
+def test_clustering_retrain_reproduces_reference_sequence(spark):
+    """Element-exact golden of the reference's clustering retrain test
+    (/root/reference/src/unit_tests.py:843-864): DBSCAN is deterministic,
+    so with the same train file, eps/min_samples/treshold and R=S=10 the
+    verdict sequence — including the post-retrain flip where the (10,20)
+    regime becomes normal and (1.0,0.9) becomes anomalous — must match
+    the reference's expected_status list, and the final epoch must equal
+    its retrain_counter == 1."""
+    from anomaly_detection_spark.operators.clustering import (
+        clustering_retrain_check,
+    )
+
+    train = np.array([  # unit_tests.py create_clustering_testing_file
+        [10.3, 10.44], [9.8, 11.3], [15.433, 16.4], [0, 0.2],
+        [0.2, 0.234], [0.3, 0.12], [0.11, 0.0456], [0.01, 0.07996],
+        [1.3, 0.211], [1, 1.65], [1.2, 1.22], [1.332, 1.03],
+        [1.222, 1.01], [1.554, 1.44],
+    ])
+    test_array = [
+        [10, 20.96], [10.0, 1.0], [10.4, 21.1], [0.2, 0.9],
+        [10.4, 20.098], [9.99, 20.44], [9.988, 20.656], [10.443, 21],
+        [10.454, 20.546], [9.995, 20.99], [10.005, 20.3425],
+        [10.1295, 20.456], [1.0, 0.9],
+    ]
+    expected_status = [-1, -1, -1, 1, -1, -1, -1, -1, -1, -1, 1, 1, -1]
+
+    rows = [("k", float(1459926000 + 3600 * i), float(v[0]), float(v[1]))
+            for i, v in enumerate(test_array)]
+    df = spark.createDataFrame(
+        rows, "series string, ts double, f1 double, f2 double")
+    out = clustering_retrain_check(
+        df, "series", "ts", ["f1", "f2"],
+        eps=0.98, min_samples=3, treshold=1.5,
+        retrain_interval=10, samples_for_retrain=10,
+        initial_train=train,
+    ).orderBy("ts").collect()
+    assert [r["code"] for r in out] == expected_status
+    assert out[-1]["epoch"] == 1  # retrain_counter
+
+
+# ---------------------------------------------------------------------------
+# time-of-day filter (ref consumer.py:195-221)
+# ---------------------------------------------------------------------------
+
+def _tod_df(spark, times):
+    rows = [(i, dt.datetime(2024, 5, 1, h, m, s))
+            for i, (h, m, s) in enumerate(times)]
+    return spark.createDataFrame(rows, "id long, ts timestamp")
+
+
+def test_time_of_day_filter_basic(spark):
+    df = _tod_df(spark, [(11, 0, 0), (12, 29, 59), (14, 0, 0), (9, 29, 0),
+                         (14, 30, 0)])
+    got = {r["id"] for r in
+           time_of_day_filter(df, "ts", (12, 0, 0), (2, 30, 0)).collect()}
+    # strict <: 14:30:00 is exactly at tolerance -> excluded; 9:29 outside
+    assert got == {0, 1, 2}
+
+
+def test_time_of_day_no_midnight_wraparound(spark):
+    """Bug-for-bug with the reference: 23:59 vs a 00:01 target differs by
+    23h58m (datetime.combine on one fixed date), so it is NOT kept."""
+    df = _tod_df(spark, [(23, 59, 0), (0, 3, 0), (0, 1, 30)])
+    got = {r["id"] for r in
+           time_of_day_filter(df, "ts", (0, 1, 0), (0, 5, 0)).collect()}
+    assert got == {1, 2}
+
+
+def test_time_of_day_predicate_is_pushdown_friendly(spark):
+    """The predicate must reach the scan as a plain filter (no UDF barrier)."""
+    df = _tod_df(spark, [(12, 0, 0)])
+    plan = df.filter(
+        time_of_day_predicate(F.col("ts"), (12, 0, 0), (1, 0, 0))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# send_ok sink gate + Kafka wire frame (ref output.py:22-26, 175-215)
+# ---------------------------------------------------------------------------
+
+def _verdicts(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, -1, 9.5), (2, 11.0, 1, None), (3, 12.0, 0, None)],
+        "event_id long, value double, status_code int, suggested_value double",
+    )
+
+
+def test_sink_filter_send_ok(spark):
+    v = _verdicts(spark)
+    assert sink_filter(v, send_ok=True).count() == 3
+    got = {r["event_id"] for r in
+           sink_filter(v, send_ok=False).collect()}
+    assert got == {1, 3}  # OK rows dropped, warnings/errors kept
+
+
+def test_kafka_sink_frame_wire_shape(spark):
+    import json
+
+    frame = kafka_sink_frame(
+        _verdicts(spark), node_id=7, algorithm="BorderCheck",
+        suggested="suggested_value", send_ok=False,
+    )
+    rows = frame.collect()
+    assert all(r["topic"] == "anomalies_7" for r in rows)
+    payloads = {json.loads(r["value"])["status_code"]: json.loads(r["value"])
+                for r in rows}
+    assert set(payloads) == {-1, 0}
+    assert payloads[-1]["algorithm"] == "BorderCheck"
+    assert payloads[-1]["suggested_value"] == 9.5
+    assert "suggested_value" not in payloads[0]  # null field omitted
+
+
+# ---------------------------------------------------------------------------
+# ConsumerFileKafka warm start (ref consumer.py:366-413)
+# ---------------------------------------------------------------------------
+
+def test_warm_start_source_bootstrap_then_stream(spark, tmp_path):
+    schema = "event_id long, value double"
+    hist = str(tmp_path / "history")
+    src = str(tmp_path / "stream_in")
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], schema) \
+        .coalesce(1).write.parquet(hist)
+
+    stream = warm_start_source(spark, history_path=hist, stream_dir=src,
+                               schema=schema)
+    assert stream.isStreaming
+    q = run_to_memory(stream, "warmstart", mode="append")
+    try:
+        q.processAllAvailable()
+        first = {r["event_id"]
+                 for r in spark.sql("SELECT * FROM warmstart").collect()}
+        assert first == {1, 2}  # history replayed in the first micro-batch
+        spark.createDataFrame([(3, 3.0)], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        both = {r["event_id"]
+                for r in spark.sql("SELECT * FROM warmstart").collect()}
+        assert both == {1, 2, 3}  # live rows continue the same stream
+    finally:
+        q.stop()
+
+
+# ---------------------------------------------------------------------------
+# single-pass curation report
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_curate_with_report_false_runs_no_jobs(spark, docs):
+    from anomaly_detection_spark.functions.curation import (
+        CurationConfig, curate,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    curated, report = curate(
+        docs.limit(200),
+        config=CurationConfig(min_quality=0.3,
+                              allowed_langs=("en", "de", "fr", "es", "zh"),
+                              near_dedup=False),
+        with_report=False,
+    )
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # fully lazy: no counting jobs ran
+    assert report.count() == 0
+    assert curated.count() > 0

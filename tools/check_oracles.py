@@ -78,6 +78,22 @@ def main():
             print(f"FAIL  {name}: duckdb error: {str(ex).splitlines()[0][:200]}")
             continue
         problems = []
+        # The driver's value hash is TYPE-sensitive (unlike repr-based
+        # canon below): DuckDB HUGEINT (int sum(CASE...)/list_sum) and
+        # DECIMAL (literal arithmetic) arrive as arrow decimal128 and
+        # hash differently from Spark's bigint/double even when values
+        # are identical. Lint the arrow schema so this fails locally.
+        try:
+            import pyarrow.types as pat
+            atbl = con.execute(oracles[name]).arrow()
+            bad = [f"{f.name}:{f.type}" for f in atbl.schema
+                   if pat.is_decimal(f.type)]
+            if bad:
+                problems.append(
+                    f"oracle emits decimal/HUGEINT (driver hash-unsafe): {bad}"
+                    " — CAST to BIGINT/DOUBLE in the SQL")
+        except Exception:
+            pass
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
