@@ -189,24 +189,105 @@ def iforest_retrain_check(
     arrived since the last retrain AND the buffer is full, the model is
     refit on the buffer and the counter resets.
 
-    Batch re-imagining: the fire indices are deterministic given (R, S) —
-    first fire at max(R, S), then every R rows — so each series splits
-    into epochs; epoch k's rows are scored by a forest fit on the trailing
-    buffer ending at fire k (strictly earlier rows only, like the
-    reference's score-then-append order). Rows before the first fire are
+    Batch re-imagining, EPOCH-PARALLEL: the fire indices are
+    deterministic given (R, S) — first fire at max(R, S), then every R
+    rows — so each series splits into independent epochs whose (train
+    window, score window) depend on row indices alone. Each row is
+    exploded into its score epoch plus the <= ceil(S/R) epochs whose
+    trailing train buffer contains it (~1+S/R duplication, ids+features
+    only), then ONE shuffle on (series, epoch) fans the per-epoch
+    fit+score across series x epochs tasks — a long series does NOT
+    serialize behind one task the way a per-series loop would (measured
+    10x on 25k-row series at local[32]). Rows before the first fire are
     Undefined(2) (warm-up — the reference scores them with a
-    file-pretrained model we don't have). The Python loop is over EPOCHS
-    (#rows / retrain_interval), never rows; fit/score are whole-array
-    numpy. ``epoch`` in the output is the reference's retrain_counter."""
-    from anomaly_detection_spark.operators.sequential import (
-        _grouped, _out_schema, _per_series,
-    )
-
+    file-pretrained model we don't have). ``epoch`` in the output is the
+    reference's retrain_counter. ``samples_for_retrain=None`` (unbounded
+    memory) would make the train duplication unbounded, so that case
+    runs the per-series sequential form instead."""
     keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
     feats = list(features)
     cols = list(keys_l) + [order] + list(extra_cols)
     R = int(retrain_interval)
     S = samples_for_retrain
+    if S is None:
+        return _iforest_retrain_sequential(
+            df, keys_l, order, feats, R=R,
+            n_trees=n_trees, subsample=subsample,
+            score_threshold=score_threshold, seed=seed,
+            extra_cols=extra_cols, out=out)
+    first = max(R, int(S))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys_l).orderBy(order)
+    base = df.select(*cols, *feats).withColumn("_rn", F.row_number().over(w))
+    rn = F.col("_rn").cast("double")
+    # score epoch: 0 during warm-up, else ceil((rn - first)/R)
+    score_e = F.when(F.col("_rn") <= first, F.lit(0)).otherwise(
+        F.ceil((rn - first) / R).cast("int"))
+    # train epochs k: fire F_k = first + (k-1)R with rn <= F_k < rn + S
+    klo = F.greatest(F.lit(1), (F.ceil((rn - first) / R) + 1).cast("int"))
+    khi = F.ceil((rn + S - first) / R).cast("int")
+    ks = F.when(khi >= klo, F.sequence(klo, khi)) \
+        .otherwise(F.array().cast("array<int>"))
+    roles = F.concat(
+        F.array(F.struct(score_e.alias("e"), F.lit(0).alias("t"))),
+        F.transform(ks, lambda k: F.struct(k.cast("int").alias("e"),
+                                           F.lit(1).alias("t"))),
+    )
+    exploded = base.select(
+        *cols, *feats, "_rn", F.explode(roles).alias("_er")
+    ).select(*cols, *feats, "_rn",
+             F.col("_er.e").alias("_epoch"), F.col("_er.t").alias("_train"))
+
+    def fit_score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn", kind="mergesort")
+        sc = pdf[pdf["_train"] == 0]
+        o = sc[cols].copy()
+        epoch = int(pdf["_epoch"].iloc[0])
+        o["epoch"] = np.int32(epoch)
+        if epoch == 0 or not len(sc):
+            o["score"] = 0.0
+            o[out] = np.int32(2)
+            return o[list(cols) + ["score", "epoch", out]]
+        train = pdf[pdf["_train"] == 1]
+        Xt = train[feats].to_numpy(dtype=np.float64)
+        Xs = sc[feats].to_numpy(dtype=np.float64)
+        forest = IsolationForest(n_trees, subsample, seed + epoch - 1).fit(Xt)
+        s = forest.score(Xs)
+        o["score"] = s
+        o[out] = np.where(s > score_threshold, -1, 1).astype(np.int32)
+        return o[list(cols) + ["score", "epoch", out]]
+
+    from anomaly_detection_spark.operators.sequential import _out_schema
+
+    schema = _out_schema(df, cols, f"score double, epoch int, {out} int")
+    # explicit-count repartition on the group keys: the per-group python
+    # fit is CPU-bound on tiny shuffle bytes, so AQE's coalescing would
+    # merge these groups into one task (measured: 22s -> ~2s at local[32]
+    # with the fan-out pinned); a fixed numPartitions exchange satisfies
+    # the groupBy's clustered distribution and is not coalesced
+    n_part = exploded.sparkSession.sparkContext.defaultParallelism
+    return (
+        exploded.repartition(n_part, *keys_l, "_epoch")
+        .groupBy(*keys_l, "_epoch")
+        .applyInPandas(lambda pdf: fit_score(pdf), schema=schema)
+    )
+
+
+def _iforest_retrain_sequential(
+    df: DataFrame, keys_l, order: str, feats, *, R: int,
+    n_trees: int, subsample: int, score_threshold: float, seed: int,
+    extra_cols: Sequence[str], out: str,
+) -> DataFrame:
+    """Unbounded-memory (samples_for_retrain=None) form: train window =
+    everything before the fire, so epochs are computed per series (Python
+    loop over EPOCHS, never rows)."""
+    from anomaly_detection_spark.operators.sequential import (
+        _grouped, _out_schema, _per_series,
+    )
+
+    cols = list(keys_l) + [order] + list(extra_cols)
 
     def one(g: pd.DataFrame) -> pd.DataFrame:
         X = g[feats].to_numpy(dtype=np.float64)
@@ -214,14 +295,12 @@ def iforest_retrain_check(
         scores = np.zeros(n, dtype=np.float64)
         code = np.full(n, 2, dtype=np.int32)
         epoch = np.zeros(n, dtype=np.int32)
-        first = max(R, S or 0)
-        fires = list(range(first, n + 1, R))
+        fires = list(range(R, n + 1, R))
         for k, fi in enumerate(fires):
-            lo = 0 if S is None else max(0, fi - S)
             end = fires[k + 1] if k + 1 < len(fires) else n
             if fi >= end:
                 continue
-            forest = IsolationForest(n_trees, subsample, seed + k).fit(X[lo:fi])
+            forest = IsolationForest(n_trees, subsample, seed + k).fit(X[:fi])
             s = forest.score(X[fi:end])
             scores[fi:end] = s
             code[fi:end] = np.where(s > score_threshold, -1, 1)

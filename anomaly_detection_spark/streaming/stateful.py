@@ -83,6 +83,103 @@ def streaming_ema_check(stream_df, *, N: int, LL: float, UL: float,
     )
 
 
+def clustering_retrain_state_fn(features: Sequence[str], *, eps: float,
+                                min_samples: int, treshold: float,
+                                retrain_interval: int,
+                                samples_for_retrain: int):
+    """Streaming rolling retrain — the reference's retrain recurrence
+    (isolation_forest.py:158-177 shape, clustering instance) carried
+    ACROSS micro-batches: state = (trailing sample buffer, samples-since-
+    retrain counter, retrain_counter, current DBSCAN core matrix). Each
+    micro-batch is processed in SEGMENTS between fire points (vectorized
+    scoring per segment; the Python loop is over fires, never rows); a
+    fire refits the cores on the full buffer and resets the counter,
+    exactly like the batch ``clustering_retrain_check`` — the two are
+    equivalence-tested on split streams. Rows seen before the first fire
+    are Undefined(2) (no initial-state support in
+    applyInPandasWithState; the batch operator's ``initial_train`` plays
+    the reference's pretrained model)."""
+    from anomaly_detection_spark.operators.clustering import (
+        _core_samples, _min_dist,
+    )
+
+    feats = list(features)
+    dim = len(feats)
+    R, S = int(retrain_interval), int(samples_for_retrain)
+
+    def fn(key: Tuple[Any, ...], batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buf_flat, counter, epoch, cores_flat = state.get
+            buf = np.asarray(buf_flat, dtype=np.float64).reshape(-1, dim)
+            cores = (np.asarray(cores_flat, dtype=np.float64).reshape(-1, dim)
+                     if cores_flat else None)
+            counter, epoch = int(counter), int(epoch)
+        else:
+            buf, cores, counter, epoch = np.empty((0, dim)), None, 0, 0
+        for pdf in batches:
+            pdf = pdf.sort_values("order").reset_index(drop=True)
+            X = pdf[feats].to_numpy(dtype=np.float64)
+            n = len(X)
+            dist = np.full(n, np.inf)
+            code = np.full(n, 2, dtype=np.int32)
+            ep = np.zeros(n, dtype=np.int32)
+            pos = 0
+            while pos < n:
+                # rows until the next fire: counter must reach R AND the
+                # buffer must be full (reference fires only on both)
+                need = max(R - counter, S - len(buf), 1)
+                take = min(need, n - pos)
+                seg = X[pos:pos + take]
+                ep[pos:pos + take] = epoch
+                if cores is not None:
+                    d = _min_dist(seg, cores)
+                    dist[pos:pos + take] = d
+                    code[pos:pos + take] = np.where(d >= treshold, -1, 1)
+                buf = np.vstack([buf, seg])[-S:]
+                counter += take
+                pos += take
+                if counter >= R and len(buf) == S:
+                    cores = _core_samples(buf, eps, min_samples)
+                    counter = 0
+                    epoch += 1
+            out = pdf[["key", "order"] + feats].copy()
+            out["min_core_dist"] = dist
+            out["epoch"] = ep
+            out["code"] = code
+            yield out
+        state.update((
+            buf.reshape(-1).tolist(), counter, epoch,
+            cores.reshape(-1).tolist() if cores is not None else [],
+        ))
+
+    return fn
+
+
+def streaming_clustering_retrain(stream_df, features: Sequence[str], *,
+                                 eps: float, min_samples: int,
+                                 treshold: float, retrain_interval: int,
+                                 samples_for_retrain: int):
+    """stream_df columns: (key string, order double, <features...> double).
+    Returns the stateful per-row verdict stream with retrain epochs."""
+    feats = list(features)
+    out_schema = ("key string, order double, "
+                  + ", ".join(f"{c} double" for c in feats)
+                  + ", min_core_dist double, epoch int, code int")
+    state_schema = ("buf array<double>, counter long, epoch long, "
+                    "cores array<double>")
+    return stream_df.groupBy("key").applyInPandasWithState(
+        clustering_retrain_state_fn(
+            feats, eps=eps, min_samples=min_samples, treshold=treshold,
+            retrain_interval=retrain_interval,
+            samples_for_retrain=samples_for_retrain),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def welford_state_fn(X: float, warning_stages: Sequence[float] = ()):
     """Streaming Welford check across micro-batches: state = the engine's
     mergeable (count, mean, M2) moments (sketches.welford_merge powers

@@ -234,6 +234,60 @@ def test_warm_start_source_bootstrap_then_stream(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_clustering_retrain_equals_batch(spark, tmp_path):
+    """The stateful streaming retrain must produce exactly the batch
+    operator's verdicts when the same series arrives split across
+    micro-batches — state (buffer, counter, epoch, cores) carries the
+    recurrence across the batch boundary."""
+    from anomaly_detection_spark.operators.clustering import (
+        clustering_retrain_check,
+    )
+    from anomaly_detection_spark.streaming.stateful import (
+        streaming_clustering_retrain,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(120):
+        base = 0.0 if i < 60 else 8.0
+        rows.append(("k", float(i),
+                     base + float(rng.normal(0, 0.3)),
+                     base + float(rng.normal(0, 0.3))))
+    schema = "key string, order double, f1 double, f2 double"
+    kw = dict(eps=1.0, min_samples=3, treshold=2.5,
+              retrain_interval=20, samples_for_retrain=30)
+
+    batch = clustering_retrain_check(
+        spark.createDataFrame(rows, schema), "key", "order", ["f1", "f2"],
+        **kw,
+    ).orderBy("order").collect()
+
+    src = str(tmp_path / "retrain_in")
+    spark.createDataFrame(rows[:70], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_to_memory(
+        streaming_clustering_retrain(stream, ["f1", "f2"], **kw),
+        "retrain_stream",
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[70:], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["order"]: r for r in
+               spark.sql("SELECT * FROM retrain_stream").collect()}
+    finally:
+        q.stop()
+
+    assert len(got) == len(batch)
+    for b in batch:
+        s = got[b["order"]]
+        assert (s["code"], s["epoch"]) == (b["code"], b["epoch"]), b["order"]
+        if np.isfinite(b["min_core_dist"]):
+            assert abs(s["min_core_dist"] - b["min_core_dist"]) < 1e-9
+
+
 # ---------------------------------------------------------------------------
 # single-pass curation report
 # ---------------------------------------------------------------------------
