@@ -1814,10 +1814,12 @@ FROM s JOIN u ON s.user_id = u.user_id AND s.rn = u.rn
 
 
 def q_clustering_retrain_events(spark, sf_dir) -> DataFrame:
-    """Rolling-retrain DBSCAN-distance check per user series on
+    """Rolling-retrain DBSCAN-distance check per event-type series on
     (value, lag) vectors — the reference's clustering retrain semantics
-    (unit_tests.py:819-864), golden-tested element-exact elsewhere;
-    rows-only here (epoch boundaries over real data)."""
+    (unit_tests.py:819-864), golden-tested element-exact elsewhere.
+    DBSCAN core discovery is deterministic, so the whole epoch schedule +
+    per-epoch core set + distance verdicts have an exact SQL twin
+    (quadratic in the 1000-row buffer per epoch — oracle-side only)."""
     from anomaly_detection_spark.operators.clustering import (
         clustering_retrain_check,
     )
@@ -1834,10 +1836,55 @@ def q_clustering_retrain_events(spark, sf_dir) -> DataFrame:
              F.round("min_core_dist", 6).alias("min_core_dist"), "code")
 
 
+# fires at F_k = max(R,S) + (k-1)R = 1000 + (k-1)*500; epoch(rn) =
+# ceil((rn-1000)/500); buffer for epoch k = rows ((k-1)*500, (k-1)*500+1000];
+# cores = buffer points with >= min_samples buffer neighbors within eps
+SQL_CLUSTERING_RETRAIN = """
+WITH base AS (
+  SELECT event_id, event_type, ts, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS shift_1
+  FROM events),
+r AS (
+  SELECT event_id, event_type,
+         CAST(value AS DOUBLE) AS f1, CAST(shift_1 AS DOUBLE) AS f2,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+  FROM base WHERE shift_1 IS NOT NULL),
+ep AS (
+  SELECT *, CASE WHEN rn <= 1000 THEN 0
+                 ELSE CAST(ceil((rn - 1000) / 500.0) AS INT) END AS epoch
+  FROM r),
+eps_list AS (SELECT DISTINCT event_type, epoch FROM ep WHERE epoch >= 1),
+buf AS (
+  SELECT e.event_type, e.epoch, b.rn, b.f1, b.f2
+  FROM eps_list e JOIN r b ON b.event_type = e.event_type
+   AND b.rn > (e.epoch - 1) * 500 AND b.rn <= (e.epoch - 1) * 500 + 1000),
+cores AS (
+  SELECT a.event_type, a.epoch, a.f1, a.f2
+  FROM buf a JOIN buf b ON a.event_type = b.event_type AND a.epoch = b.epoch
+   AND (a.f1 - b.f1) * (a.f1 - b.f1) + (a.f2 - b.f2) * (a.f2 - b.f2) <= 625.0
+  GROUP BY a.event_type, a.epoch, a.rn, a.f1, a.f2
+  HAVING count(*) >= 4),
+md AS (
+  SELECT p.event_id, min(sqrt((p.f1 - c.f1) * (p.f1 - c.f1)
+                            + (p.f2 - c.f2) * (p.f2 - c.f2))) AS d
+  FROM ep p JOIN cores c ON p.event_type = c.event_type AND p.epoch = c.epoch
+  WHERE p.epoch >= 1
+  GROUP BY p.event_id)
+SELECT p.event_id, p.event_type, p.epoch,
+       CASE WHEN p.epoch = 0 OR md.d IS NULL THEN CAST('infinity' AS DOUBLE)
+            ELSE round(md.d, 6) END AS min_core_dist,
+       CAST(CASE WHEN p.epoch = 0 THEN 2
+                 WHEN md.d IS NULL OR md.d >= 60.0 THEN -1
+                 ELSE 1 END AS INT) AS code
+FROM ep p LEFT JOIN md ON p.event_id = md.event_id
+"""
+
+
 REGISTRY.update({
     "time_of_day_events": (q_time_of_day_events, SQL_TIME_OF_DAY),
     "iforest_retrain_events": (q_iforest_retrain_events, None),
-    "clustering_retrain_events": (q_clustering_retrain_events, None),
+    "clustering_retrain_events": (q_clustering_retrain_events,
+                                  SQL_CLUSTERING_RETRAIN),
 })
 
 # promote previously rows-only sequential checks to oracle-backed: the

