@@ -37,6 +37,11 @@ class CurationConfig:
     near_dedup: bool = True
     jaccard_threshold: float = 0.8
     min_tokens: int = 10
+    # False (default): drop the higher id of each PAIR (conservative —
+    # docs only drop against a direct near-dup). True: connected-component
+    # resolution over the pair graph, keep min id per component
+    # (aggressive chain collapse, the common corpus-dedup policy).
+    transitive_dedup: bool = False
     extra_drop_reasons: dict = field(default_factory=dict)
 
 
@@ -94,7 +99,15 @@ def curate(
             exact, id_col, text_col,
             jaccard_threshold=cfg.jaccard_threshold,
         )
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        if cfg.transitive_dedup:
+            from anomaly_detection_spark.functions.dedup import (
+                resolve_components,
+            )
+            comp = resolve_components(pairs)
+            losers = comp.filter(F.col("id") != F.col("component")) \
+                .select(F.col("id").alias(id_col))
+        else:
+            losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         from pyspark.storagelevel import StorageLevel
         losers = losers.persist(StorageLevel.MEMORY_AND_DISK)
         final = exact.join(losers, on=id_col, how="left_anti")

@@ -321,6 +321,79 @@ def simhash_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# transitive resolution: near-dup pairs -> components -> keep set
+# ---------------------------------------------------------------------------
+
+def resolve_components(
+    pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pair edges -> (id, component)
+    with component = min id reachable. Near-duplication is transitive in
+    intent but LSH emits PAIRS (and may miss edges inside a clique), so
+    corpus dedup keeps one doc per COMPONENT, not per pair — the standard
+    final step of web-scale dedup pipelines.
+
+    Distributed min-label propagation: every node starts labeled with
+    itself; each round joins labels across edges both ways and keeps the
+    elementwise min; stops when a round changes nothing (checked with one
+    small count — the label frame is O(nodes-in-pairs), a vanishing
+    fraction of the corpus). Rounds needed = component diameter (near-dup
+    chains are short); ``max_iter`` bounds pathological chains. Each
+    round is one broadcast-or-shuffle join + hash agg on narrow
+    (id, label) rows."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"),
+                            F.col(id_a).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("component", F.coalesce("n_min", "component"))
+                    .alias("component"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            .filter(F.col("component") != F.col("old"))
+            .limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_set(
+    df: DataFrame, pairs: DataFrame, id_col: str, *, max_iter: int = 20
+) -> DataFrame:
+    """Apply transitive resolution: keep min id per component, drop the
+    rest. Non-paired docs never enter the label frame (anti-join keeps
+    them untouched), so the propagation works on the tiny pair graph."""
+    comp = resolve_components(pairs, max_iter=max_iter)
+    losers = comp.filter(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
 

@@ -97,10 +97,17 @@ def clustering_retrain_check(
 
     DBSCAN core discovery is deterministic, so unlike the iForest variant
     this reproduces the reference's retrain-flip verdict sequence
-    element-exact (golden-tested). ``initial_train`` plays the reference's
-    ``train_data`` file: it fits the epoch-0 model and seeds the memory;
-    without it, epoch-0 rows are Undefined(2). ``epoch`` in the output is
-    the reference's retrain_counter. Python loops only over EPOCHS."""
+    element-exact (golden-tested) and has a full SQL oracle. ``initial_train``
+    plays the reference's ``train_data`` file: it fits the epoch-0 model and
+    seeds the memory; without it, epoch-0 rows are Undefined(2). ``epoch``
+    in the output is the reference's retrain_counter.
+
+    This is the PARITY path: epochs run in a per-series loop (the seeded
+    memory makes buffers straddle the train-file/stream boundary, which the
+    exploded epoch-parallel encoding cannot express cleanly). At corpus
+    scale, series count >> cores so per-series parallelism suffices; for a
+    few very long series use the iForest operator's epoch-parallel shape
+    (mvoutlier.iforest_retrain_check) as the template."""
     from anomaly_detection_spark.operators.sequential import (
         _grouped, _out_schema, _per_series,
     )

@@ -1897,6 +1897,72 @@ REGISTRY["periodic_repair_events"] = (q_periodic_repair_events,
                                       SQL_PERIODIC_REPAIR)
 
 
+def q_dedup_components_documents(spark, sf_dir) -> DataFrame:
+    """Transitive near-dup resolution: planted two-step edit chains
+    (doc -> doc+' tail' -> doc+' tail tail') produce pair edges whose
+    connected components must merge to the min id — the standard
+    keep-one-per-component final step of corpus dedup. Oracle = the same
+    exact-Jaccard pair derivation + a recursive-CTE transitive closure."""
+    from anomaly_detection_spark.functions.dedup import (
+        ngram_jaccard_pairs, resolve_components,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    chain = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct((F.col("doc_id") + 100_000).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" tail")).alias("text")),
+        F.struct((F.col("doc_id") + 200_000).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" tail tail")).alias("text")),
+    )
+    one = F.array(F.struct(F.col("doc_id"), F.col("text")))
+    corpus = d.select(
+        F.explode(F.when(F.col("doc_id") < 5, chain).otherwise(one)).alias("r")
+    ).select("r.doc_id", "r.text")
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_k=8,
+                                jaccard_threshold=0.5)
+    comp = resolve_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+SQL_DEDUP_COMPONENTS = """
+WITH RECURSIVE u AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 100000, text || ' tail' FROM documents WHERE doc_id < 5
+  UNION ALL
+  SELECT doc_id + 200000, text || ' tail tail' FROM documents WHERE doc_id < 5),
+sh AS (
+  SELECT doc_id, length(text) AS len,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 7, 1)),
+           i -> substr(text, i, 8))) AS s
+  FROM u),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+   AND b.len >= a.len * 0.8 AND a.len >= b.len * 0.8
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT rr.id, e.dst FROM reach rr JOIN edges e ON e.src = rr.r)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY id
+"""
+
+
+REGISTRY.update({
+    "dedup_components_documents": (q_dedup_components_documents,
+                                   SQL_DEDUP_COMPONENTS),
+})
+
+
 def q_hll_accuracy_events(spark, sf_dir) -> DataFrame:
     """HLL sketch path with a derived-invariant oracle: the estimate is
     approximate by construction, so the checkable claims are (a) the exact

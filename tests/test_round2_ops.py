@@ -319,9 +319,68 @@ def test_streaming_clustering_retrain_equals_batch(spark, tmp_path):
 # single-pass curation report
 # ---------------------------------------------------------------------------
 
+def test_resolve_components_transitive(spark):
+    """Chain, triangle, isolated pair: labels converge to the component
+    min; dedup_keep_set keeps exactly one doc per component."""
+    from anomaly_detection_spark.functions.dedup import (
+        dedup_keep_set, resolve_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"]
+            for r in resolve_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in
+            dedup_keep_set(docs, pairs, "doc_id").collect()}
+    assert kept == {1, 10, 20, 99}  # min per component + untouched doc
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_curate_transitive_dedup_collapses_chains(spark, docs):
+    """With transitive_dedup=True a two-step edit chain collapses to the
+    original even when LSH emits only the adjacent pairs."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.functions.curation import (
+        CurationConfig, curate,
+    )
+
+    base = docs.limit(100)
+    chain = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct((F.col("doc_id") + 500_000).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" tail")).alias("text")),
+        F.struct((F.col("doc_id") + 600_000).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" tail tail")).alias("text")),
+    )
+    one = F.array(F.struct(F.col("doc_id"), F.col("text")))
+    corpus = base.select(
+        F.explode(F.when(F.col("doc_id") < 3, chain).otherwise(one)).alias("r"),
+        "lang", "source", "n_chars",
+    ).select("r.doc_id", "r.text", "lang", "source", "n_chars")
+
+    cfg = CurationConfig(min_quality=0.3,
+                         allowed_langs=("en", "de", "fr", "es", "zh"),
+                         jaccard_threshold=0.6, transitive_dedup=True)
+    curated, _ = curate(corpus, config=cfg, with_report=False)
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    for d in range(3):
+        if d in ids:  # original survived its quality gate
+            assert d + 500_000 not in ids and d + 600_000 not in ids
 
 
 def test_curate_with_report_false_runs_no_jobs(spark, docs):
