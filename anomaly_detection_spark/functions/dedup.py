@@ -341,7 +341,13 @@ def resolve_components(
     fraction of the corpus). Rounds needed = component diameter (near-dup
     chains are short); ``max_iter`` bounds pathological chains. Each
     round is one broadcast-or-shuffle join + hash agg on narrow
-    (id, label) rows."""
+    (id, label) rows.
+
+    Each round's labels are ``localCheckpoint``-ed: iterative DataFrame
+    algorithms must TRUNCATE LINEAGE, not just cache — a persisted frame
+    still nests the previous round's logical plan, so by ~20 rounds the
+    plan tree itself is exponential and the driver dies building it
+    (observed: OOM in plan-string generation; PLANS.md round-2 lesson)."""
     from pyspark.storagelevel import StorageLevel
 
     edges = (
@@ -354,7 +360,7 @@ def resolve_components(
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("component", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -366,14 +372,13 @@ def resolve_components(
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("component", F.coalesce("n_min", "component"))
                     .alias("component"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "id")
             .filter(F.col("component") != F.col("old"))
             .limit(1).count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -170,6 +170,73 @@ def ks_check(
     return ks, code
 
 
+def ks_exact(base: DataFrame, cur: DataFrame, value: str, *,
+             n_range_partitions: int | None = None) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic, distributed — the
+    verification path for :func:`ks_check`'s t-digest approximation.
+
+    sup|F_a - F_b| is attained at a sample point, so: (1) aggregate both
+    samples to per-distinct-value side counts (one hash shuffle, output
+    size = #distinct values); (2) range-partition + sort by value and
+    compute per-partition cumulative counts, shifted by the exclusive
+    prefix totals of earlier range partitions (collected once — P tiny
+    rows); (3) the global max of |cumA/nA - cumB/nB| is a plain max
+    aggregate. No global single-task sort window anywhere. Returns a
+    1-row DataFrame (ks double)."""
+    from pyspark.storagelevel import StorageLevel
+
+    u = base.select(F.col(value).cast("double").alias("v")) \
+        .withColumn("s", F.lit(1)) \
+        .unionByName(cur.select(F.col(value).cast("double").alias("v"))
+                     .withColumn("s", F.lit(0)))
+    d = (
+        u.filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.sum("s").alias("db"), F.sum(1 - F.col("s")).alias("dc"))
+    )
+    P = n_range_partitions or base.sparkSession.sparkContext.defaultParallelism
+    # persist the range-partitioned frame: the totals job and the scan job
+    # must observe the SAME sampled range boundaries
+    d = d.repartitionByRange(P, "v").sortWithinPartitions("v") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    tot = (
+        d.select(F.spark_partition_id().alias("pid"), "db", "dc")
+        .groupBy("pid")
+        .agg(F.sum("db").alias("tb"), F.sum("dc").alias("tc"))
+        .collect()
+    )
+    nb = float(sum(r["tb"] for r in tot))
+    nc = float(sum(r["tc"] for r in tot))
+    if nb == 0 or nc == 0:
+        return base.sparkSession.createDataFrame(
+            [(float("nan"),)], "ks double")
+    offsets = {}
+    ob = oc = 0.0
+    for r in sorted(tot, key=lambda r: r["pid"]):
+        offsets[r["pid"]] = (ob, oc)
+        ob += r["tb"]
+        oc += r["tc"]
+
+    def part_ks(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        cb, cc = offsets.get(pid, (0.0, 0.0))
+        best = 0.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cumb = cb + np.cumsum(pdf["db"].to_numpy(dtype=np.float64))
+            cumc = cc + np.cumsum(pdf["dc"].to_numpy(dtype=np.float64))
+            best = max(best, float(np.abs(cumb / nb - cumc / nc).max()))
+            cb, cc = float(cumb[-1]), float(cumc[-1])
+        yield pd.DataFrame({"d": [best]})
+
+    out = d.mapInPandas(part_ks, schema="d double").agg(
+        F.max("d").alias("ks"))
+    return out
+
+
 def partition_stat_drift(
     df: DataFrame, partition_col: str, value: str, *,
     N: int, X: float, out: str = "code",

@@ -1957,9 +1957,44 @@ FROM reach GROUP BY id
 """
 
 
+def q_ks_exact_events(spark, sf_dir) -> DataFrame:
+    """Exact two-sample KS between the first and second halves of the
+    event-value stream (the verification path for the t-digest KS
+    sketch): per-distinct-value side counts, range-partitioned prefix
+    cumsums, global max — no single-task sort anywhere."""
+    from anomaly_detection_spark.operators.drift import ks_exact
+
+    e = _events(spark, sf_dir)
+    mid = e.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
+    base = e.filter(F.unix_timestamp("ts") <= mid)
+    cur = e.filter(F.unix_timestamp("ts") > mid)
+    return ks_exact(base, cur, "value").select(
+        F.round("ks", 6).alias("ks"))
+
+
+SQL_KS_EXACT = """
+WITH h AS (SELECT quantile_cont(floor(epoch(ts)), 0.5) AS m FROM events),
+u AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN floor(epoch(ts)) <= (SELECT m FROM h)
+              THEN 1 ELSE 0 END AS s
+  FROM events WHERE value IS NOT NULL),
+d AS (SELECT v, CAST(sum(s) AS DOUBLE) AS db,
+             CAST(sum(1 - s) AS DOUBLE) AS dc
+      FROM u GROUP BY v),
+c AS (SELECT sum(db) OVER (ORDER BY v) AS cb,
+             sum(dc) OVER (ORDER BY v) AS cc,
+             (SELECT sum(db) FROM d) AS nb,
+             (SELECT sum(dc) FROM d) AS nc
+      FROM d)
+SELECT round(max(abs(cb / nb - cc / nc)), 6) AS ks FROM c
+"""
+
+
 REGISTRY.update({
     "dedup_components_documents": (q_dedup_components_documents,
                                    SQL_DEDUP_COMPONENTS),
+    "ks_exact_events": (q_ks_exact_events, SQL_KS_EXACT),
 })
 
 
@@ -2021,9 +2056,22 @@ _ROWS_ONLY_PRIORITY = [
 ]
 
 
+# oracle-backed queries to order AFTER the rest of the oracle set when
+# the window is oversubscribed: their operator is already covered by
+# other oracle-backed queries (column stats: welford_profile_events =
+# same statistics via the sketch path, salted_stats_lineitem = the
+# salted variant)
+_ORACLE_DEPRIORITIZED = ["column_stats_documents"]
+
+
 def _reorder(reg: dict) -> dict:
-    ordered = {k: v for k, v in reg.items() if v[1] is not None}
+    oracle = {k: v for k, v in reg.items() if v[1] is not None}
     rows_only = {k: v for k, v in reg.items() if v[1] is None}
+    ordered = {k: v for k, v in oracle.items()
+               if k not in _ORACLE_DEPRIORITIZED}
+    for k in _ORACLE_DEPRIORITIZED:
+        if k in oracle:
+            ordered[k] = oracle[k]
     for k in _ROWS_ONLY_PRIORITY:
         if k in rows_only:
             ordered[k] = rows_only.pop(k)

@@ -319,6 +319,33 @@ def test_streaming_clustering_retrain_equals_batch(spark, tmp_path):
 # single-pass curation report
 # ---------------------------------------------------------------------------
 
+def test_ks_exact_matches_digest_within_resolution(spark):
+    """The exact distributed KS (range-partitioned prefix sums) agrees
+    with numpy on planted shifted samples, and the t-digest KS
+    approximation lands within the sketch's resolution of it."""
+    from anomaly_detection_spark.operators.drift import (
+        ks_exact, ks_from_digests, tdigest_of,
+    )
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(0.0, 1.0, 4000)
+    b = rng.normal(0.6, 1.0, 4000)  # shifted: KS ~ 0.23
+    dfa = spark.createDataFrame([(float(x),) for x in a], "value double")
+    dfb = spark.createDataFrame([(float(x),) for x in b], "value double")
+
+    got = ks_exact(dfa, dfb, "value", n_range_partitions=5).first()["ks"]
+    # numpy ground truth: eval ECDF difference at all sample points
+    xs = np.sort(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+    want = np.abs(fa - fb).max()
+    assert abs(got - want) < 1e-12
+
+    approx = ks_from_digests(tdigest_of(dfa, "value"),
+                             tdigest_of(dfb, "value"))
+    assert abs(approx - want) < 0.02  # within sketch resolution
+
+
 def test_resolve_components_transitive(spark):
     """Chain, triangle, isolated pair: labels converge to the component
     min; dedup_keep_set keeps exactly one doc per component."""
@@ -343,6 +370,38 @@ def test_resolve_components_transitive(spark):
     kept = {r["doc_id"] for r in
             dedup_keep_set(docs, pairs, "doc_id").collect()}
     assert kept == {1, 10, 20, 99}  # min per component + untouched doc
+
+
+def test_resolve_components_random_graphs_match_union_find(spark):
+    """Seeded random graphs: the distributed min-label propagation must
+    equal a plain union-find ground truth on every node."""
+    from anomaly_detection_spark.functions.dedup import resolve_components
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        raw = rng.integers(0, 40, size=(30, 2))
+        edges = [(int(a), int(b)) for a, b in raw if a != b]
+        if not edges:
+            continue
+        parent = list(range(40))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {v for e in edges for v in e}
+        expected = {v: find(v) for v in nodes}
+
+        got = {r["id"]: r["component"] for r in resolve_components(
+            spark.createDataFrame(edges, "id_a long, id_b long")
+        ).collect()}
+        assert got == expected, f"seed {seed}"
 
 
 @pytest.fixture(scope="module")
