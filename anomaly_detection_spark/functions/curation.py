@@ -81,11 +81,9 @@ def curate(
     gated = cur.filter(gate)
 
     # 2. exact dedup (one digest shuffle); the rank column doubles as the
-    # keeper marker for single-pass accounting
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
-    ranked = gated.withColumn("_rn", F.row_number().over(w))
+    # keeper marker for single-pass accounting — same definition as the
+    # standalone operator (dedup.exact_dedup), not a re-implementation
+    ranked = exact_dedup(gated, id_col, text_col, ranked=True)
     exact = ranked.filter(F.col("_rn") == 1).drop("_rn")
 
     # 3. near-dedup: drop the higher-id member of each near-dup pair.

@@ -51,18 +51,21 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_dedup(df: DataFrame, id_col: str, text_col: str, *,
+                ranked: bool = False, rank_col: str = "_rn") -> DataFrame:
     """Keep one row per distinct content (min id wins): one scan, one
     shuffle on the digest, rank-1 filter. (An aggregate + semi-join
-    formulation scans and hashes the table twice.)"""
+    formulation scans and hashes the table twice.) ``ranked=True``
+    returns the frame WITH the rank column instead of filtering — the
+    curation pipeline uses it so its keeper accounting shares this exact
+    dedup definition rather than re-implementing it."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    out = df.withColumn(rank_col, F.row_number().over(w))
+    if ranked:
+        return out
+    return out.filter(F.col(rank_col) == 1).drop(rank_col)
 
 
 # ---------------------------------------------------------------------------
@@ -445,9 +448,10 @@ def embedding_near_dup_pairs(
                 "bkt": bkt.reshape(-1),
             })
 
-    banded = df.select(
-        F.col(id_col).cast("long").alias(id_col), vec_col
-    ).mapInPandas(bucketize, schema="_id bigint, tbl int, bkt bigint")
+    # keep the caller's id dtype (string ids legal; ANSI cast would throw)
+    _idt = df.select(id_col).schema[0].dataType.simpleString()
+    banded = df.select(id_col, vec_col).mapInPandas(
+        bucketize, schema=f"_id {_idt}, tbl int, bkt bigint")
 
     ids = F.array_sort(F.collect_list("_id"))
     buckets = (
@@ -472,10 +476,11 @@ def embedding_near_dup_pairs(
     cand_docs = cand_ids.select(F.col("id_a").alias("_id")).union(
         cand_ids.select(F.col("id_b").alias("_id"))
     ).distinct()
+    # no broadcast hint: the candidate-doc set grows with corpus size;
+    # AQE broadcasts it only while it is actually small
     vecs = (
-        df.select(F.col(id_col).cast("long").alias("_id"),
-                  F.col(vec_col).alias("_v"))
-        .join(F.broadcast(cand_docs), "_id", "left_semi")
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .join(cand_docs, "_id", "left_semi")
     )
     pairs = (
         cand_ids

@@ -145,9 +145,11 @@ def sign_bucket_rows(
                 "bkt": bkt.reshape(-1),
             })
 
-    return df.select(
-        F.col(id_name).cast("long").alias(id_name), vec_col
-    ).mapInPandas(bucketize, schema=f"{id_name} bigint, tbl int, bkt bigint")
+    # keep the caller's id dtype (string doc ids are legal — a cast to
+    # long would throw under ANSI mode and change downstream join types)
+    id_type = df.select(id_name).schema[0].dataType.simpleString()
+    return df.select(id_name, vec_col).mapInPandas(
+        bucketize, schema=f"`{id_name}` {id_type}, tbl int, bkt bigint")
 
 
 def lsh_topk(
@@ -176,13 +178,13 @@ def lsh_topk(
         .select(query_id, id_col)
         .dropDuplicates([query_id, id_col])
     )
+    # no broadcast hint on the candidate set: it grows with corpus size x
+    # n_tables, so let AQE pick the join strategy from its observed size
     cvec = (
-        corpus.select(F.col(id_col).cast("long").alias(id_col),
-                      F.col(vec_col).alias("_cv"))
-        .join(F.broadcast(cand.select(id_col).distinct()), id_col, "left_semi")
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+        .join(cand.select(id_col).distinct(), id_col, "left_semi")
     )
-    qvec = queries.select(F.col(query_id).cast("long").alias(query_id),
-                          F.col(vec_col).alias("_qv"))
+    qvec = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
     scored = cand.join(cvec, id_col).join(F.broadcast(qvec), query_id)
     dot = F.aggregate(
         F.zip_with(F.col("_cv"), F.col("_qv"), lambda a, b: a * b),

@@ -117,6 +117,9 @@ def clustering_retrain_check(
     cols = list(keys_l) + [order] + list(extra_cols)
     R = int(retrain_interval)
     S = samples_for_retrain
+    if R <= 0 or (S is not None and S <= 0):
+        raise ValueError("retrain_interval (and samples_for_retrain if set) "
+                         f"must be positive, got R={R}, S={S}")
     init = (np.asarray(initial_train, dtype=np.float64)
             if initial_train is not None else None)
     mem0 = init if init is None or S is None else init[-S:]

@@ -95,12 +95,22 @@ def time_of_day_predicate(
     combined onto the SAME calendar day — 23:59 vs a 00:01 target differs
     by 23h58m, NOT 2min. The no-midnight-wraparound behavior is the
     reference's (datetime.combine on a fixed date), reproduced
-    bug-for-bug. ``target``/``tolerance`` are (hours, minutes, seconds)
-    triples like the reference's config tuples."""
-    tod = F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)
-    tgt = int(target[0]) * 3600 + int(target[1]) * 60 + int(target[2])
-    tol = int(tolerance[0]) * 3600 + int(tolerance[1]) * 60 + int(tolerance[2])
-    return F.abs(tod - F.lit(tgt)) < F.lit(tol)
+    bug-for-bug — including SUB-SECOND precision: the reference compares
+    full datetime.time values, so a row at 09:30:00.5 against target
+    (12,0,0) tol (2,30,0) is KEPT (2:29:59.5 < 2:30:00); comparing on
+    whole seconds would drop it. ``target``/``tolerance`` are (hours,
+    minutes, seconds) triples like the reference's config tuples."""
+    tod_us = (
+        (F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts))
+        .cast("bigint") * 1_000_000
+        # fractional-second micros (timezone-invariant)
+        + F.pmod(F.unix_micros(ts.cast("timestamp")), F.lit(1_000_000))
+    )
+    tgt = (int(target[0]) * 3600 + int(target[1]) * 60
+           + int(target[2])) * 1_000_000
+    tol = (int(tolerance[0]) * 3600 + int(tolerance[1]) * 60
+           + int(tolerance[2])) * 1_000_000
+    return F.abs(tod_us - F.lit(tgt)) < F.lit(tol)
 
 
 def time_of_day_filter(

@@ -292,6 +292,9 @@ def iforest_retrain_check(
     cols = list(keys_l) + [order] + list(extra_cols)
     R = int(retrain_interval)
     S = samples_for_retrain
+    if R <= 0 or (S is not None and S <= 0):
+        raise ValueError("retrain_interval (and samples_for_retrain if set) "
+                         f"must be positive, got R={R}, S={S}")
     if S is None:
         return _iforest_retrain_sequential(
             df, keys_l, order, feats, R=R,

@@ -1678,7 +1678,8 @@ def q_time_of_day_events(spark, sf_dir) -> DataFrame:
 SQL_TIME_OF_DAY = """
 SELECT event_id, CAST(hour(ts) AS INT) AS hh
 FROM events
-WHERE abs(hour(ts) * 3600 + minute(ts) * 60 + second(ts) - 43200) < 9000
+WHERE abs((hour(ts) * 3600 + minute(ts) * 60 + second(ts)) * 1000000
+          + epoch_us(ts) % 1000000 - 43200000000) < 9000000000
 """
 
 

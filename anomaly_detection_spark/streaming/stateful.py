@@ -106,15 +106,21 @@ def clustering_retrain_state_fn(features: Sequence[str], *, eps: float,
     feats = list(features)
     dim = len(feats)
     R, S = int(retrain_interval), int(samples_for_retrain)
+    if R <= 0 or S <= 0:
+        raise ValueError("retrain_interval and samples_for_retrain must be "
+                         f"positive, got R={R}, S={S}")
 
     def fn(key: Tuple[Any, ...], batches: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
             buf_flat, counter, epoch, cores_flat = state.get
             buf = np.asarray(buf_flat, dtype=np.float64).reshape(-1, dim)
-            cores = (np.asarray(cores_flat, dtype=np.float64).reshape(-1, dim)
-                     if cores_flat else None)
             counter, epoch = int(counter), int(epoch)
+            # epoch > 0 means a model EXISTS even if it found no cores
+            # (empty core set scores everything -1, same as the batch
+            # operator); only epoch 0 means "no model yet" -> Undefined
+            cores = (np.asarray(cores_flat, dtype=np.float64).reshape(-1, dim)
+                     if epoch > 0 else None)
         else:
             buf, cores, counter, epoch = np.empty((0, dim)), None, 0, 0
         for pdf in batches:

@@ -104,13 +104,19 @@ def warm_start_source(
     matches = glob.glob(history_path)
     if not matches:
         raise FileNotFoundError(history_path)
+    files = []
     for f in matches:
         if os.path.isdir(f):
-            for part in glob.glob(os.path.join(f, "*")):
-                if os.path.isfile(part):
-                    shutil.copy(part, stream_dir)
+            files.extend(p for p in glob.glob(os.path.join(f, "*"))
+                         if os.path.isfile(p))
         else:
-            shutil.copy(f, stream_dir)
+            files.append(f)
+    # prefix with a running index: part files from different source
+    # directories commonly share basenames (part-00000...) and must not
+    # clobber each other in the staged directory
+    for i, part in enumerate(files):
+        shutil.copy(part, os.path.join(
+            stream_dir, f"hist{i:05d}_{os.path.basename(part)}"))
     return stream_source(spark, path=stream_dir, schema=schema, fmt=fmt)
 
 

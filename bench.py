@@ -59,6 +59,7 @@ HEADLINE = [
     "lsh_topk_embeddings",             # GEMM sign-bucket ANN
     "iforest_retrain_events",          # rolling-retrain forests per epoch
     "curation_gate_documents",         # fused quality gate + exact dedup
+    "ks_exact_events",                 # exact KS via range-partitioned prefix sums
 ]
 
 

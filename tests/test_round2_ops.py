@@ -186,6 +186,57 @@ def test_time_of_day_no_midnight_wraparound(spark):
     assert got == {1, 2}
 
 
+def test_time_of_day_subsecond_boundary(spark):
+    """The reference compares full datetime.time values, so fractional
+    seconds count: 09:30:00.5 vs target noon / tol 2h30m differs by
+    2:29:59.5 < 2:30:00 -> KEPT; 09:29:59.5 differs by 2:30:00.5 ->
+    dropped."""
+    rows = [(0, dt.datetime(2024, 5, 1, 9, 30, 0, 500000)),
+            (1, dt.datetime(2024, 5, 1, 9, 29, 59, 500000)),
+            (2, dt.datetime(2024, 5, 1, 14, 29, 59, 999999)),
+            (3, dt.datetime(2024, 5, 1, 14, 30, 0, 1))]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = {r["id"] for r in
+           time_of_day_filter(df, "ts", (12, 0, 0), (2, 30, 0)).collect()}
+    assert got == {0, 2}
+
+
+def test_streaming_retrain_empty_core_model_survives_state(spark, tmp_path):
+    """A retrain whose buffer yields NO core samples is still a model
+    (everything scores -1), and must survive the state round-trip — a
+    naive falsy check on the serialized core list would restore it as
+    'no model yet' and flip verdicts to Undefined across the batch
+    boundary."""
+    from anomaly_detection_spark.streaming.stateful import (
+        streaming_clustering_retrain,
+    )
+
+    # scattered points: buffer of 2 can never reach min_samples=3
+    rows = [("k", float(i), float(i * 100), float(-i * 50))
+            for i in range(6)]
+    schema = "key string, order double, f1 double, f2 double"
+    kw = dict(eps=0.5, min_samples=3, treshold=1.0,
+              retrain_interval=2, samples_for_retrain=2)
+    src = str(tmp_path / "ec_in")
+    spark.createDataFrame(rows[:4], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_to_memory(streaming_clustering_retrain(stream, ["f1", "f2"], **kw),
+                      "empty_core_stream")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[4:], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["order"]: r["code"] for r in
+               spark.sql("SELECT * FROM empty_core_stream").collect()}
+    finally:
+        q.stop()
+    # warm-up rows Undefined; every row after the first (empty-core)
+    # retrain is -1, INCLUDING rows 4,5 that arrive in the second batch
+    assert got == {0.0: 2, 1.0: 2, 2.0: -1, 3.0: -1, 4.0: -1, 5.0: -1}
+
+
 def test_time_of_day_predicate_is_pushdown_friendly(spark):
     """The predicate must reach the scan as a plain filter (no UDF barrier)."""
     df = _tod_df(spark, [(12, 0, 0)])

@@ -85,7 +85,10 @@ def main():
         # are identical. Lint the arrow schema so this fails locally.
         try:
             import pyarrow.types as pat
-            atbl = con.execute(oracles[name]).arrow()
+            # LIMIT 0 wrapper: schema only, no second full execution of
+            # expensive oracles (recursive CTEs, quadratic buffers)
+            atbl = con.execute(
+                f"SELECT * FROM ({oracles[name]}) AS _q LIMIT 0").arrow()
             bad = [f"{f.name}:{f.type}" for f in atbl.schema
                    if pat.is_decimal(f.type)]
             if bad:
