@@ -46,6 +46,41 @@ def _clean_alg(name: str) -> str:
     return name.strip().removesuffix("()")
 
 
+def _load_train_vectors(path: str | None):
+    """Reference train-file format (CSV with 'timestamp, ftr_vector'
+    where ftr_vector is a stringified list — isolation_forest.py:70-73):
+    -> numpy matrix for clustering_retrain_check's initial model, or None
+    when no file is configured/present."""
+    import ast
+    import csv
+    import os
+
+    if not path or not os.path.exists(path):
+        return None
+    import numpy as np
+
+    rows = []
+    with open(path) as f:
+        for rec in csv.DictReader(f):
+            rows.append(ast.literal_eval(rec["ftr_vector"]))
+    return np.asarray(rows, dtype=float) if rows else None
+
+
+def _time_filter_spec(spec):
+    """The reference's per-detector time filter config — a string the
+    reference eval()s into (target_time, tolerance) triples
+    (consumer.py:184-186). Accepts that string form (literal_eval, not
+    eval) or an already-parsed pair; None/missing = no filter."""
+    import ast
+
+    if spec is None:
+        return None
+    if isinstance(spec, str):
+        spec = ast.literal_eval(spec)
+    target, tol = spec
+    return tuple(target), tuple(tol)
+
+
 def compile_detector(
     alg: str, conf: dict, *, keys, order: str, value: str,
 ) -> Callable[[DataFrame], DataFrame]:
@@ -169,12 +204,24 @@ def compile_detector(
         return t
 
     if alg == "IsolationForest":
-        from anomaly_detection_spark.operators.mvoutlier import iforest_check
+        from anomaly_detection_spark.operators.mvoutlier import (
+            iforest_check, iforest_retrain_check,
+        )
 
         def t(df):
             feats = conf.get("features") or [value]
             extra = [c for c in df.columns
                      if c not in feats and c != keys]
+            if conf.get("retrain_interval"):
+                # the reference's rolling retrain (isolation_forest.py:
+                # 158-177): refit every retrain_interval samples on the
+                # trailing samples_for_retrain buffer
+                extra_o = [c for c in extra if c != order]
+                return iforest_retrain_check(
+                    df, keys, order, feats,
+                    retrain_interval=conf["retrain_interval"],
+                    samples_for_retrain=conf.get("samples_for_retrain"),
+                    extra_cols=extra_o)
             return iforest_check(
                 df, keys, feats,
                 n_trees=conf.get("max_features", 100)
@@ -200,12 +247,22 @@ def compile_detector(
 
     if alg == "Clustering":
         from anomaly_detection_spark.operators.clustering import (
-            clustering_check_grouped,
+            clustering_check_grouped, clustering_retrain_check,
         )
 
         def t(df):
             feats = conf.get("features") or [value]
             extra = [c for c in df.columns if c not in feats and c != keys]
+            if conf.get("retrain_interval"):
+                extra_o = [c for c in extra if c != order]
+                return clustering_retrain_check(
+                    df, keys, order, feats, eps=conf["eps"],
+                    min_samples=conf["min_samples"],
+                    treshold=conf["treshold"],
+                    retrain_interval=conf["retrain_interval"],
+                    samples_for_retrain=conf.get("samples_for_retrain"),
+                    initial_train=_load_train_vectors(conf.get("train_data")),
+                    extra_cols=extra_o)
             return clustering_check_grouped(
                 df, keys, feats, eps=conf["eps"],
                 min_samples=conf["min_samples"],
@@ -228,25 +285,45 @@ def compile_config(
             config = json.load(f)
     algs = config["anomaly_detection_alg"]
     confs = config["anomaly_detection_conf"]
+    filters = config.get("filtering") or [None] * len(algs)
     compiled = [
         (f"code_{i}_{_clean_alg(a).lower()}",
-         compile_detector(a, c, keys=keys, order=order, value=value))
-        for i, (a, c) in enumerate(zip(algs, confs))
+         compile_detector(a, c, keys=keys, order=order, value=value),
+         _time_filter_spec(flt))
+        for i, (a, c, flt) in enumerate(zip(algs, confs, filters))
     ]
 
     def run(df: DataFrame) -> DataFrame:
         from anomaly_detection_spark.operators.combination import combine_or
+        from anomaly_detection_spark.operators.constraints import (
+            time_of_day_predicate,
+        )
 
         out = df
         code_cols = []
-        for name, t in compiled:
-            checked = t(out)
+        for name, t, flt in compiled:
+            src = out
+            if flt is not None:
+                # reference semantics (consumer.py:184-191): filtered-out
+                # messages are never INSERTED into this detector — its
+                # recurrences/windows advance only on in-window rows, and
+                # unseen rows carry no verdict (Undefined after the join)
+                target, tol = flt
+                ts = F.col(order)
+                from pyspark.sql.types import NumericType
+                if isinstance(df.schema[order].dataType, NumericType):
+                    ts = F.timestamp_seconds(ts)
+                src = out.filter(time_of_day_predicate(ts, target, tol))
+            checked = t(src)
             # per-detector ops name their verdict 'code'; rename + join back
             joined_keys = [keys, order]
             out = out.join(
                 checked.select(*joined_keys, F.col("code").alias(name)),
                 on=joined_keys, how="left",
             )
+            if flt is not None:
+                out = out.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(2)))
             code_cols.append(name)
         return out.withColumn("status_code", combine_or(code_cols))
 

@@ -165,3 +165,96 @@ def test_cli_config_mode(spark, tmp_path, capsys):
     assert res["rows"] == 4 and res["errors"] == 1 and res["f1"] == 1.0
     import glob
     assert glob.glob(str(out) + "/*.parquet")
+
+
+def test_time_filter_config(spark):
+    """The reference's per-detector `filtering` key (consumer.py:184-191):
+    out-of-window rows are never inserted into the detector — they carry
+    Undefined, and the detector's recurrence advances only on in-window
+    rows."""
+    import datetime as dt
+
+    cfg = {
+        "anomaly_detection_alg": ["BorderCheck()"],
+        "anomaly_detection_conf": [{
+            "warning_stages": [], "UL": 4.0, "LL": 0.0,
+        }],
+        # string form, exactly as the reference configs carry it
+        "filtering": ["[(12, 0, 0), (1, 0, 0)]"],
+    }
+    rows = [("k", dt.datetime(2024, 5, 1, h, m, 0), v) for h, m, v in
+            [(11, 30, 9.0), (12, 0, 9.0), (3, 0, 2.0), (12, 5, 2.0)]]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    out = {(r["ts"].hour, r["value"]): r["code_0_bordercheck"]
+           for r in compile_config(cfg)(df).collect()}
+    # 11:30 within 1h of noon -> checked (9.0 > UL -> -1); 03:00 filtered
+    # (11:00 sharp would ALSO be filtered: the reference compares strictly)
+    assert out[(11, 9.0)] == -1
+    assert out[(12, 9.0)] == -1
+    assert out[(12, 2.0)] == 1
+    assert out[(3, 2.0)] == 2  # never inserted -> Undefined
+
+
+def test_retrain_config_routes_to_retrain_operators(spark):
+    """retrain_interval in an IsolationForest config selects the rolling
+    retrain operator (warm-up Undefined until the first fire)."""
+    import numpy as np
+
+    cfg = {
+        "anomaly_detection_alg": ["IsolationForest()"],
+        "anomaly_detection_conf": [{
+            "retrain_interval": 20, "samples_for_retrain": 40,
+        }],
+    }
+    rng = np.random.default_rng(1)
+    vals = [float(v) for v in rng.normal(10, 1, 120)]
+    df = series_df(spark, vals)
+    out = compile_config(cfg)(df).orderBy("ts").collect()
+    codes = [r["code_0_isolationforest"] for r in out]
+    assert all(c == 2 for c in codes[:40])       # before first fire
+    assert all(c in (-1, 1) for c in codes[40:])  # scored afterwards
+
+
+def test_clustering_retrain_config_reproduces_reference_flip(spark, tmp_path):
+    """The reference's OWN clustering unit-test configuration — train
+    file + eps/min_samples/treshold + R=S=10 (unit_tests.py:778-792) —
+    fed through compile_config reproduces the retrain-flip status
+    sequence element-exact."""
+    import csv
+
+    train = [
+        [10.3, 10.44], [9.8, 11.3], [15.433, 16.4], [0, 0.2],
+        [0.2, 0.234], [0.3, 0.12], [0.11, 0.0456], [0.01, 0.07996],
+        [1.3, 0.211], [1, 1.65], [1.2, 1.22], [1.332, 1.03],
+        [1.222, 1.01], [1.554, 1.44],
+    ]
+    train_path = str(tmp_path / "ClusteringTestData.csv")
+    with open(train_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["timestamp", "ftr_vector"])
+        for i, v in enumerate(train):
+            w.writerow([1459926000 + 3600 * i, str(v)])
+
+    cfg = {
+        "anomaly_detection_alg": ["Clustering()"],
+        "anomaly_detection_conf": [{
+            "train_data": train_path,
+            "eps": 0.98, "min_samples": 3, "treshold": 1.5,
+            "retrain_interval": 10, "samples_for_retrain": 10,
+            "features": ["f1", "f2"],
+        }],
+    }
+    test_array = [
+        [10, 20.96], [10.0, 1.0], [10.4, 21.1], [0.2, 0.9],
+        [10.4, 20.098], [9.99, 20.44], [9.988, 20.656], [10.443, 21],
+        [10.454, 20.546], [9.995, 20.99], [10.005, 20.3425],
+        [10.1295, 20.456], [1.0, 0.9],
+    ]
+    expected = [-1, -1, -1, 1, -1, -1, -1, -1, -1, -1, 1, 1, -1]
+    rows = [("k", float(1459926000 + 3600 * i), float(v[0]), float(v[1]))
+            for i, v in enumerate(test_array)]
+    df = spark.createDataFrame(
+        rows, "series string, ts double, f1 double, f2 double")
+    out = compile_config(cfg)(df).orderBy("ts").collect()
+    assert [r["code_0_clustering"] for r in out] == expected
+    assert [r["status_code"] for r in out] == expected
