@@ -14,9 +14,13 @@
   tunable with n_tables/n_planes; the corpus-side shuffle is one
   hash-partition per table on the bucket id.
 
-An IVF variant (k-means coarse quantizer) deliberately isn't here: with
-no BLAS-backed k-means in the container, random-hyperplane LSH is the
-honest scale path.
+* :func:`ivf_topk` — IVF (inverted-file) ANN: a spherical k-means
+  coarse quantizer (seeded numpy Lloyd on a driver-side sample) maps
+  every corpus vector to its nearest-centroid cell (one GEMM per Arrow
+  batch, narrow (id, cell) rows); a query probes its ``n_probe``
+  closest cells and exact-re-ranks only those cells' members. Versus
+  LSH: cells adapt to the data distribution, so recall per candidate
+  examined is typically higher.
 """
 
 from __future__ import annotations
@@ -150,6 +154,117 @@ def sign_bucket_rows(
     id_type = df.select(id_name).schema[0].dataType.simpleString()
     return df.select(id_name, vec_col).mapInPandas(
         bucketize, schema=f"`{id_name}` {id_type}, tbl int, bkt bigint")
+
+
+def spherical_kmeans(X: np.ndarray, k: int, *, iters: int = 20,
+                     seed: int = 0) -> np.ndarray:
+    """Seeded Lloyd iterations on unit-normalized vectors (cosine
+    k-means): assignment = argmax dot, update = normalized mean. Pure
+    vectorized numpy — one (n, k) GEMM per iteration. Empty clusters are
+    re-seeded from the farthest points (deterministic)."""
+    rng = np.random.default_rng(seed)
+    Xn = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+    k = min(k, len(Xn))
+    C = Xn[rng.choice(len(Xn), size=k, replace=False)]
+    for _ in range(iters):
+        S = Xn @ C.T                       # (n, k)
+        assign = S.argmax(axis=1)
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign, Xn)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        if empty.any():
+            worst = np.argsort(S.max(axis=1))[: int(empty.sum())]
+            newC[empty] = Xn[worst]
+            counts[empty] = 1
+        C = newC / np.clip(np.linalg.norm(newC, axis=1, keepdims=True),
+                           1e-12, None)
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
+    vec_col: str = "embedding", query_id: str = "query_id", k: int = 10,
+    n_cells: int = 64, n_probe: int = 8, train_sample: int = 4096,
+    kmeans_iters: int = 20, seed: int = 0,
+) -> DataFrame:
+    """IVF approximate top-k by cosine: (query_id, vec_id, cosine, rank).
+
+    Train — sample up to ``train_sample`` corpus vectors to the driver
+    (bounded, independent of corpus size) and fit the spherical-k-means
+    coarse quantizer. Index — ONE GEMM per Arrow batch assigns each
+    corpus vector to its nearest centroid; only narrow (id, cell) rows
+    leave the scan. Search — each (broadcast) query probes its
+    ``n_probe`` closest cells; candidates = members of probed cells (one
+    shuffle keyed by cell); exact cosine re-rank fetches candidate
+    vectors via semi-join. Recall is tuned with n_probe/n_cells."""
+    vec_sample = corpus.select(vec_col)
+    n = vec_sample.count()
+    sample = vec_sample if n <= train_sample else vec_sample.sample(
+        fraction=min(1.0, train_sample * 1.2 / n), seed=seed
+    ).limit(train_sample)
+    X = np.stack([np.asarray(r[0], dtype=np.float64)
+                  for r in sample.collect()])
+    C = spherical_kmeans(X, n_cells, iters=kmeans_iters, seed=seed)
+
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True),
+                            1e-12, None)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "cell": (M @ C.T).argmax(axis=1).astype(np.int32),
+            })
+
+    id_type = corpus.select(id_col).schema[0].dataType.simpleString()
+    indexed = corpus.select(id_col, vec_col).mapInPandas(
+        assign_cells, schema=f"`{id_col}` {id_type}, cell int")
+
+    def probe_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True),
+                            1e-12, None)
+            p = min(n_probe, C.shape[0])
+            top = np.argpartition(-(Q @ C.T), p - 1, axis=1)[:, :p]
+            yield pd.DataFrame({
+                query_id: np.repeat(pdf[query_id].to_numpy(), p),
+                "cell": top.reshape(-1).astype(np.int32),
+            })
+
+    q_type = queries.select(query_id).schema[0].dataType.simpleString()
+    probes = queries.select(query_id, vec_col).mapInPandas(
+        probe_cells, schema=f"`{query_id}` {q_type}, cell int")
+
+    cand = (
+        indexed.join(F.broadcast(probes), "cell")
+        .select(query_id, id_col)
+        .dropDuplicates([query_id, id_col])
+    )
+    cvec = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+        .join(cand.select(id_col).distinct(), id_col, "left_semi")
+    )
+    qvec = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    scored = cand.join(cvec, id_col).join(F.broadcast(qvec), query_id)
+    dot = F.aggregate(
+        F.zip_with(F.col("_cv"), F.col("_qv"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = scored.withColumn(
+        "cosine", dot / (_norm(F.col("_cv")) * _norm(F.col("_qv")))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )
 
 
 def lsh_topk(

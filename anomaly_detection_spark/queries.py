@@ -904,6 +904,23 @@ def q_lsh_topk_embeddings(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ivf_topk_embeddings(spark, sf_dir) -> DataFrame:
+    """IVF ANN (spherical-k-means coarse quantizer + cell-probe exact
+    re-rank); rows-only (seeded k-means is not SQL-expressible; recall
+    vs the exact oracle path is asserted in tests)."""
+    from anomaly_detection_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_cells=32, n_probe=8).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_image_features_media(spark, sf_dir) -> DataFrame:
     from anomaly_detection_spark.functions.multimodal import (
         image_features, synth_media,
@@ -960,6 +977,7 @@ REGISTRY: dict[str, tuple] = {
     "repair_events": (q_repair_events, None),
     "iforest_embeddings": (q_iforest_embeddings, None),
     "lsh_topk_embeddings": (q_lsh_topk_embeddings, None),
+    "ivf_topk_embeddings": (q_ivf_topk_embeddings, None),
     "image_features_media": (q_image_features_media, None),
 }
 
@@ -2046,6 +2064,7 @@ _ROWS_ONLY_PRIORITY = [
     "iforest_retrain_events",       # reference retrain semantics
     "clustering_retrain_events",    # deterministic retrain (golden-tested)
     "lsh_topk_embeddings",
+    "ivf_topk_embeddings",
     "simhash_signatures_documents",
     "curation_full_documents",
     "pca_iforest_embeddings",

@@ -370,6 +370,38 @@ def test_streaming_clustering_retrain_equals_batch(spark, tmp_path):
 # single-pass curation report
 # ---------------------------------------------------------------------------
 
+def test_ivf_topk_recall_and_exactness_at_full_probe(spark):
+    """IVF ANN: probing ALL cells is exhaustive (must equal the exact
+    top-k), and the default partial probe keeps high recall."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.functions.similarity import (
+        cosine_topk, ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(emb, queries, k=5).collect()}
+
+    full = {(r["query_id"], r["vec_id"]) for r in ivf_topk(
+        emb, queries, k=5, n_cells=16, n_probe=16).collect()}
+    assert full == exact  # probe everything == brute force
+
+    # the fixture embeddings are near-uniform (no planted cluster
+    # structure), the hardest case for IVF: half-probe must still keep
+    # high recall, quarter-probe degrades gracefully
+    half = {(r["query_id"], r["vec_id"]) for r in ivf_topk(
+        emb, queries, k=5, n_cells=16, n_probe=8).collect()}
+    assert len(half & exact) / len(exact) >= 0.8
+    quarter = {(r["query_id"], r["vec_id"]) for r in ivf_topk(
+        emb, queries, k=5, n_cells=16, n_probe=4).collect()}
+    assert len(quarter & exact) / len(exact) >= 0.5
+
+
 def test_ks_exact_matches_digest_within_resolution(spark):
     """The exact distributed KS (range-partitioned prefix sums) agrees
     with numpy on planted shifted samples, and the t-digest KS
