@@ -370,6 +370,41 @@ def test_streaming_clustering_retrain_equals_batch(spark, tmp_path):
 # single-pass curation report
 # ---------------------------------------------------------------------------
 
+def test_embedding_near_dup_multi_table_recall(spark):
+    """Near-but-not-identical pairs (cosine ~0.98 from small noise) can
+    split across a single LSH table's buckets; the multi-table rewrite
+    must still find them. Plants 20 noisy copies and requires >=90%
+    recall at n_tables=6 (a single 12-plane table would miss ~half)."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.functions.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    base = rng.normal(size=(200, dim))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    planted = []
+    for i in range(20):
+        v = base[i]
+        noisy = v + rng.normal(0, 0.05 * np.linalg.norm(v) / np.sqrt(dim),
+                               size=dim)
+        cos = float(v @ noisy / (np.linalg.norm(v) * np.linalg.norm(noisy)))
+        assert cos > 0.95
+        planted.append((i, i + 1000))
+        rows.append((i + 1000, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = embedding_near_dup_pairs(
+        df, "vec_id", "embedding", cosine_threshold=0.95,
+        n_planes=12, n_tables=6,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    hits = sum(1 for p in planted if p in found)
+    assert hits / len(planted) >= 0.9
+
+
 def test_ivf_topk_recall_and_exactness_at_full_probe(spark):
     """IVF ANN: probing ALL cells is exhaustive (must equal the exact
     top-k), and the default partial probe keeps high recall."""
