@@ -74,7 +74,12 @@ def clustering_check_grouped(
     ) + f", min_core_dist double, {out} int"
     return (
         df.select(*cols)
-        .repartition(*[F.col(k) for k in keys_l])
+        # explicit-count repartition: AQE would coalesce these CPU-bound
+        # python-fit groups onto few tasks (tiny shuffle bytes; PLANS.md
+        # lesson 8) — the count pins the fan-out and still satisfies the
+        # groupBy's clustered distribution
+        .repartition(df.sparkSession.sparkContext.defaultParallelism,
+                     *[F.col(k) for k in keys_l])
         .groupBy(*keys_l)
         .applyInPandas(fn, schema=schema)
     )

@@ -250,7 +250,12 @@ def iforest_check(
     ) + f", score double, {out} int"
     return (
         df.select(*cols)
-        .repartition(*[F.col(k) for k in keys_l])
+        # explicit-count repartition: AQE would coalesce these CPU-bound
+        # python-fit groups onto few tasks (tiny shuffle bytes; PLANS.md
+        # lesson 8) — the count pins the fan-out and still satisfies the
+        # groupBy's clustered distribution
+        .repartition(df.sparkSession.sparkContext.defaultParallelism,
+                     *[F.col(k) for k in keys_l])
         .groupBy(*keys_l)
         .applyInPandas(fn, schema=schema)
     )
@@ -450,7 +455,12 @@ def pca_iforest_check(
     ) + f", score double, {out} int"
     return (
         df.select(*cols)
-        .repartition(*[F.col(k) for k in keys_l])
+        # explicit-count repartition: AQE would coalesce these CPU-bound
+        # python-fit groups onto few tasks (tiny shuffle bytes; PLANS.md
+        # lesson 8) — the count pins the fan-out and still satisfies the
+        # groupBy's clustered distribution
+        .repartition(df.sparkSession.sparkContext.defaultParallelism,
+                     *[F.col(k) for k in keys_l])
         .groupBy(*keys_l)
         .applyInPandas(fn, schema=schema)
     )
@@ -594,7 +604,12 @@ def codisp_check(
     ) + f", codisp double, {out} int"
     return (
         df.select(*cols)
-        .repartition(*[F.col(k) for k in keys_l])
+        # explicit-count repartition: AQE would coalesce these CPU-bound
+        # python-fit groups onto few tasks (tiny shuffle bytes; PLANS.md
+        # lesson 8) — the count pins the fan-out and still satisfies the
+        # groupBy's clustered distribution
+        .repartition(df.sparkSession.sparkContext.defaultParallelism,
+                     *[F.col(k) for k in keys_l])
         .groupBy(*keys_l)
         .applyInPandas(fn, schema=schema)
     )

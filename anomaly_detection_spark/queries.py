@@ -855,6 +855,25 @@ def q_simhash_signatures_documents(spark, sf_dir) -> DataFrame:
     return simhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_simhash_near_dup_documents(spark, sf_dir) -> DataFrame:
+    """SimHash Hamming<=3 pairs via the 4-block pigeonhole equi-join on a
+    clone-planted slice (exact clones -> Hamming 0; rows-only: the
+    signature uses pandas' hash, not SQL-expressible)."""
+    from anomaly_detection_spark.functions.dedup import simhash_near_dup_pairs
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    both = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct((F.col("doc_id") + 100_000).alias("doc_id"),
+                 F.col("text").alias("text")),
+    )
+    one = F.array(F.struct(F.col("doc_id"), F.col("text")))
+    corpus = d.select(
+        F.explode(F.when(F.col("doc_id") < 5, both).otherwise(one)).alias("r")
+    ).select("r.doc_id", "r.text")
+    return simhash_near_dup_pairs(corpus, "doc_id", "text", max_hamming=3)
+
+
 def q_filtering_check_events(spark, sf_dir) -> DataFrame:
     from anomaly_detection_spark.operators.sequential import filtering_check
 
@@ -978,6 +997,7 @@ REGISTRY: dict[str, tuple] = {
     "iforest_embeddings": (q_iforest_embeddings, None),
     "lsh_topk_embeddings": (q_lsh_topk_embeddings, None),
     "ivf_topk_embeddings": (q_ivf_topk_embeddings, None),
+    "simhash_near_dup_documents": (q_simhash_near_dup_documents, None),
     "image_features_media": (q_image_features_media, None),
 }
 
@@ -2066,6 +2086,7 @@ _ROWS_ONLY_PRIORITY = [
     "lsh_topk_embeddings",
     "ivf_topk_embeddings",
     "simhash_signatures_documents",
+    "simhash_near_dup_documents",
     "curation_full_documents",
     "pca_iforest_embeddings",
     "recon_drift_events",

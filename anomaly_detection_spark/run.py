@@ -87,6 +87,35 @@ def run_config_mode(spark: SparkSession, args, t0: float) -> int:
     return 0
 
 
+def run_curate_mode(spark: SparkSession, args, t0: float) -> int:
+    """Training-data curation pipeline over a documents table
+    (doc_id/text/lang): quality + lang gates -> exact dedup -> MinHash
+    near-dedup (optionally transitive), per-stage accounting JSON."""
+    from anomaly_detection_spark.functions.curation import (
+        CurationConfig, curate,
+    )
+
+    if not args.input:
+        raise SystemExit("--curate requires --input <documents.parquet>")
+    docs = spark.read.parquet(args.input)
+    cfg = CurationConfig(
+        min_quality=args.min_quality,
+        allowed_langs=tuple(args.langs.split(",")),
+        jaccard_threshold=args.jaccard,
+        transitive_dedup=args.transitive,
+    )
+    curated, report = curate(docs, config=cfg)
+    stages = {r["stage"]: {"rows_in": r["rows_in"], "rows_out": r["rows_out"]}
+              for r in report.collect()}
+    if args.output:
+        curated.write.mode("overwrite").parquet(args.output)
+    result = {"stages": stages, "wall_s": round(time.time() - t0, 2)}
+    if args.output:
+        result["output"] = args.output
+    print(json.dumps(result) if args.json else result)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="PySpark validation engine")
     p.add_argument("--input", default=None,
@@ -113,6 +142,15 @@ def main(argv=None) -> int:
                    help="verdict sink for --config mode (parquet path; default console)")
     p.add_argument("--evaluate", default=None, metavar="LABEL_COL",
                    help="score F1 of status_code==-1 against this label column")
+    # curation mode (LLM-training-data pipeline over a documents table):
+    p.add_argument("--curate", action="store_true",
+                   help="run the curation pipeline on --input "
+                        "(documents parquet with doc_id/text/lang)")
+    p.add_argument("--min-quality", type=float, default=0.3)
+    p.add_argument("--langs", default="en,de,fr,es,zh")
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--transitive", action="store_true",
+                   help="near-dedup keeps one doc per connected component")
     args = p.parse_args(argv)
 
     spark = build_session(args)
@@ -120,6 +158,8 @@ def main(argv=None) -> int:
 
     if args.config:
         return run_config_mode(spark, args, t0)
+    if args.curate:
+        return run_curate_mode(spark, args, t0)
 
     from anomaly_detection_spark.catalog import BUCKET_COL
 

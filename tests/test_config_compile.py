@@ -258,3 +258,25 @@ def test_clustering_retrain_config_reproduces_reference_flip(spark, tmp_path):
     out = compile_config(cfg)(df).orderBy("ts").collect()
     assert [r["code_0_clustering"] for r in out] == expected
     assert [r["status_code"] for r in out] == expected
+
+
+def test_cli_curate_mode(spark, tmp_path, capsys):
+    """`python -m anomaly_detection_spark.run --curate`: the curation
+    pipeline end-to-end through the CLI with per-stage accounting."""
+    import json
+
+    from anomaly_detection_spark.run import main
+
+    out_dir = str(tmp_path / "curated")
+    rc = main([
+        "--curate", "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir, "--min-quality", "0.3", "--jaccard", "0.6",
+        "--transitive", "--json",
+    ])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    st = payload["stages"]
+    assert set(st) == {"quality_lang_gate", "exact_dedup", "near_dedup"}
+    assert st["quality_lang_gate"]["rows_in"] == 500
+    kept = spark.read.parquet(out_dir).count()
+    assert kept == st["near_dedup"]["rows_out"] > 0
