@@ -522,6 +522,25 @@ def test_resolve_components_random_graphs_match_union_find(spark):
         assert got == expected, f"seed {seed}"
 
 
+def test_registry_references_consistent():
+    """Every name referenced by bench.py's HEADLINE and the registry's
+    ordering lists must exist in REGISTRY (typo guard), and the driver's
+    50-entry window must be fully oracle-backed."""
+    import bench
+    from anomaly_detection_spark.queries import (
+        _ORACLE_DEPRIORITIZED, _ROWS_ONLY_PRIORITY, REGISTRY,
+    )
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"bench names not in REGISTRY: {missing}"
+    missing = [n for n in _ROWS_ONLY_PRIORITY + _ORACLE_DEPRIORITIZED
+               if n not in REGISTRY]
+    assert not missing, f"ordering names not in REGISTRY: {missing}"
+    window = list(REGISTRY)[:50]
+    assert all(REGISTRY[n][1] is not None for n in window), \
+        "driver window contains rows-only entries"
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
