@@ -1393,6 +1393,7 @@ def q_curation_full_documents(spark, sf_dir) -> DataFrame:
             allowed_langs=("en", "de", "fr", "es", "zh"),
             jaccard_threshold=0.8,
         ),
+        with_report=False,  # the query returns rows; skip counting jobs
     )
     return curated.select("doc_id", F.round("quality", 6).alias("quality"),
                           "n_tokens", "bpe_tokens")
