@@ -285,7 +285,13 @@ def compile_config(
             config = json.load(f)
     algs = config["anomaly_detection_alg"]
     confs = config["anomaly_detection_conf"]
-    filters = config.get("filtering") or [None] * len(algs)
+    filters = list(config.get("filtering") or [])
+    if len(filters) > len(algs):
+        raise ValueError(
+            f"filtering has {len(filters)} entries for {len(algs)} detectors")
+    # a shorter list runs the trailing detectors unfiltered instead of
+    # silently dropping them in the zip below
+    filters += [None] * (len(algs) - len(filters))
     compiled = [
         (f"code_{i}_{_clean_alg(a).lower()}",
          compile_detector(a, c, keys=keys, order=order, value=value),

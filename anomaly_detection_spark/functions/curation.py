@@ -8,13 +8,20 @@ Stage order is deliberate: cheap row-local predicates first (pushed to
 the scan, shrink everything downstream), exact dedup before near-dedup
 (hash shuffle removes identical copies so LSH never pays for them), and
 token accounting last over survivors only.
+
+Reporting is free: stage counters are ``df.observe`` metrics that ride
+the CONSUMER's first action on the curated frame (one CollectMetrics
+node per stage, zero extra jobs and zero extra executions of the
+gate/dedup chain). The report object materializes the counters lazily —
+if it is read before any action has run on ``curated``, it drives the
+plan once itself.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from anomaly_detection_spark.functions.dedup import (
@@ -45,56 +52,125 @@ class CurationConfig:
     extra_drop_reasons: dict = field(default_factory=dict)
 
 
+_REPORT_SCHEMA = "stage string, rows_in long, rows_out long, dropped long"
+
+
+class CurationReport:
+    """Stage counters delivered through ``df.observe`` metrics on the
+    curated plan: they are computed by whatever action the CALLER runs
+    on ``curated`` (a write, a collect), so reporting adds no execution
+    of the gate/dedup chain. Reading the report before any such action
+    drives the plan once via ``count()``.
+
+    ``df()`` / ``collect()`` / ``rows()`` expose the familiar
+    (stage, rows_in, rows_out, dropped) shape; a disabled report
+    (``with_report=False``) is empty and never runs a job."""
+
+    def __init__(self, spark, curated=None, observations=None, n_raw=None):
+        self._spark = spark
+        self._curated = curated
+        self._obs: dict[str, Observation] = observations or {}
+        self._n_raw = n_raw
+        self._rows = None if observations else []
+
+    @staticmethod
+    def _available(obs: Observation) -> bool:
+        try:
+            return not obs._jo.getRowOrEmpty().isEmpty()
+        except Exception:
+            return False
+
+    def _ensure(self) -> None:
+        if self._rows is not None:
+            return
+        first = next(iter(self._obs.values()))
+        if not self._available(first):
+            # no action has consumed `curated` yet: drive the plan once
+            # ourselves (this is the ONLY execution reporting ever adds,
+            # and only on report-before-output access patterns)
+            self._curated.count()
+        n1 = int(self._obs["gated"].get["n"])
+        n2 = int(self._obs["exact"].get["n"])
+        n3 = int(self._obs["final"].get["n"]) if "final" in self._obs else n2
+        n0 = self._n_raw
+        stages = [("quality_lang_gate", n0, n1), ("exact_dedup", n1, n2),
+                  ("near_dedup", n2, n3)]
+        self._rows = [(s, int(b), int(a), int(b - a)) for s, b, a in stages]
+
+    def rows(self) -> list[tuple]:
+        self._ensure()
+        return list(self._rows)
+
+    def df(self) -> DataFrame:
+        return self._spark.createDataFrame(self.rows(), _REPORT_SCHEMA)
+
+    def collect(self):
+        return self.df().collect()
+
+    def count(self) -> int:
+        return len(self.rows())
+
+
 def curate(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
     lang_col: str = "lang", config: CurationConfig | None = None,
     with_report: bool = True,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, CurationReport]:
     """-> (curated, report). ``curated`` = surviving rows with quality /
-    token columns attached; ``report`` = one row per pipeline stage with
-    rows_in/rows_out.
+    token columns attached; ``report`` = lazy stage counters (see
+    :class:`CurationReport`).
 
-    Accounting is single-pass, not one count() per stage (which would
-    re-execute the whole upstream chain per counter): rows_in comes from
-    a column-pruned count on the raw scan (parquet metadata), the gate
-    and exact-dedup counters come from ONE conditional aggregation over
-    the ranked chain, and the near-dedup drop count reuses the
-    (persisted, small) loser-id set the anti-join consumes — so the
-    expensive gate/dedup chain executes once for the report and the
-    LSH chain once. ``with_report=False`` skips every counting job and
-    returns an empty report (pure lazy pipeline for production runs)."""
+    With reporting on, the raw row count is one parquet-footer count job
+    (column-pruned metadata scan) and every other counter is an observe
+    metric riding the caller's output job — the gate/dedup chain executes
+    exactly once. The observed nodes live only on the anti-join (keeper)
+    side of the plan; the LSH candidate side re-derives its input without
+    metrics nodes, so a metric can never fire twice inside one action.
+    ``with_report=False`` attaches nothing and returns an empty report
+    (pure lazy pipeline for production / streaming foreachBatch runs)."""
     cfg = config or CurationConfig()
+    spark = df.sparkSession
 
-    # 1. row-local gates (fused into the scan by Catalyst — keep them as
-    # FILTERS so predicate pushdown shrinks the dedup shuffle)
-    cur = df.withColumn("quality", quality_score(F.col(text_col))).withColumn(
-        "n_tokens", ws_token_count(F.col(text_col))
-    )
-    gate = (F.col("quality") >= cfg.min_quality) & (
-        F.col("n_tokens") >= cfg.min_tokens
-    )
-    if cfg.lang_from_text:
-        cur = lang_id_scored(cur, text_col, out="lang_pred")
-        gate = gate & F.col("lang_pred").isin(list(cfg.allowed_langs))
-    else:
-        gate = gate & F.col(lang_col).isin(list(cfg.allowed_langs))
-    gated = cur.filter(gate)
+    def build(observe: bool):
+        """The gate -> exact-dedup chain, optionally with observe nodes."""
+        obs: dict[str, Observation] = {}
+        cur = df.withColumn(
+            "quality", quality_score(F.col(text_col))
+        ).withColumn("n_tokens", ws_token_count(F.col(text_col)))
+        gate = (F.col("quality") >= cfg.min_quality) & (
+            F.col("n_tokens") >= cfg.min_tokens
+        )
+        if cfg.lang_from_text:
+            cur = lang_id_scored(cur, text_col, out="lang_pred")
+            gate = gate & F.col("lang_pred").isin(list(cfg.allowed_langs))
+        else:
+            gate = gate & F.col(lang_col).isin(list(cfg.allowed_langs))
+        gated = cur.filter(gate)
+        if observe:
+            obs["gated"] = Observation()
+            gated = gated.observe(obs["gated"],
+                                  F.count(F.lit(1)).alias("n"))
+        # exact dedup (one digest shuffle) — same definition as the
+        # standalone operator (dedup.exact_dedup), not a re-implementation
+        exact = exact_dedup(gated, id_col, text_col)
+        if observe:
+            obs["exact"] = Observation()
+            exact = exact.observe(obs["exact"], F.count(F.lit(1)).alias("n"))
+        return exact, obs
 
-    # 2. exact dedup (one digest shuffle); the rank column doubles as the
-    # keeper marker for single-pass accounting — same definition as the
-    # standalone operator (dedup.exact_dedup), not a re-implementation
-    ranked = exact_dedup(gated, id_col, text_col, ranked=True)
-    exact = ranked.filter(F.col("_rn") == 1).drop("_rn")
+    exact, obs = build(observe=with_report)
 
-    # 3. near-dedup: drop the higher-id member of each near-dup pair.
-    # The loser-id set is persisted (tiny: near-dup losers only) because
-    # it is consumed by both the drop count and the anti-join; no
-    # broadcast hint — at corpus scale the loser set may exceed the
-    # driver, so AQE picks the join strategy from its observed size.
-    losers = None
+    # near-dedup: drop the higher-id member of each near-dup pair. The
+    # pair pipeline consumes an UNOBSERVED copy of the chain: the observed
+    # CollectMetrics nodes must appear exactly once in the executed plan
+    # (the keeper side), or one action would fire each metric twice. The
+    # two copies share the digest-window exchange when Spark reuses it;
+    # either way the loser-id set is tiny and the anti-join is the only
+    # consumer, so nothing needs a persist here (round-2 leak fixed).
     if cfg.near_dedup:
+        lsh_input = build(observe=False)[0] if with_report else exact
         pairs = minhash_lsh_pairs(
-            exact, id_col, text_col,
+            lsh_input, id_col, text_col,
             jaccard_threshold=cfg.jaccard_threshold,
         )
         if cfg.transitive_dedup:
@@ -106,9 +182,10 @@ def curate(
                 .select(F.col("id").alias(id_col))
         else:
             losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        from pyspark.storagelevel import StorageLevel
-        losers = losers.persist(StorageLevel.MEMORY_AND_DISK)
         final = exact.join(losers, on=id_col, how="left_anti")
+        if with_report:
+            obs["final"] = Observation()
+            final = final.observe(obs["final"], F.count(F.lit(1)).alias("n"))
     else:
         final = exact
 
@@ -116,22 +193,8 @@ def curate(
         "bpe_tokens", bpe_ish_token_count(F.col(text_col))
     )
 
-    spark = df.sparkSession
     if not with_report:
-        return curated, spark.createDataFrame(
-            [], "stage string, rows_in long, rows_out long, dropped long")
+        return curated, CurationReport(spark)
 
     n0 = df.count()  # column-pruned scan: parquet footer counts
-    c = ranked.agg(
-        F.count(F.lit(1)).alias("n1"),
-        F.sum((F.col("_rn") == 1).cast("long")).alias("n2"),
-    ).first()
-    n1, n2 = int(c["n1"]), int(c["n2"])
-    n3 = n2 - (losers.count() if losers is not None else 0)
-    stages = [("quality_lang_gate", n0, n1), ("exact_dedup", n1, n2),
-              ("near_dedup", n2, n3)]
-    report = spark.createDataFrame(
-        [(s, int(b), int(a), int(b - a)) for s, b, a in stages],
-        "stage string, rows_in long, rows_out long, dropped long",
-    )
-    return curated, report
+    return curated, CurationReport(spark, curated, obs, n0)

@@ -32,6 +32,18 @@ from pyspark.sql import functions as F
 from anomaly_detection_spark.functions.text import char_shingles
 
 
+def _scope_candidate_persist(pairs: DataFrame, cand_ids: DataFrame) -> DataFrame:
+    """Materialize the (tiny) verified-pair result and release the
+    candidate-set persist. ``localCheckpoint`` keeps the pairs
+    DISTRIBUTED (never a driver collect — at corpus scale the pair set
+    can be billions of rows) and its blocks are RDD-level, so the
+    ContextCleaner reclaims them when the frame is garbage-collected —
+    unlike CacheManager persists, which outlive every reference."""
+    out = pairs.localCheckpoint(eager=True)
+    cand_ids.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -89,6 +101,7 @@ def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, *,
     shingle_k: int = 8, n_hashes: int = 16, bands: int = 4,
     jaccard_threshold: float = 0.7, max_bucket: int = 64,
+    eager: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -96,6 +109,12 @@ def minhash_lsh_pairs(
     one row per band and shuffles on the band-hash — the only wide op.
     Stage 3 verifies candidates with exact Jaccard over shingle sets
     (array_intersect/union sizes, JVM-side).
+
+    ``eager=True`` materializes the (tiny) pair result now and releases
+    the internal candidate-set persist before returning, so one-shot
+    callers leave no cached blocks behind for the session lifetime;
+    default lazy keeps the pure-pipeline shape (curation composes it
+    under its own execution discipline).
     """
     rows_per_band = n_hashes // bands
 
@@ -190,12 +209,13 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    out = (
         pairs.withColumn("jaccard",
                          F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _scope_candidate_persist(out, cand_ids) if eager else out
 
 
 def ngram_jaccard_pairs(
@@ -409,6 +429,7 @@ def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, *,
     cosine_threshold: float = 0.95, n_planes: int = 12, n_tables: int = 4,
     seed: int = 0, dim: int | None = None, max_bucket: int = 256,
+    eager: bool = False,
 ) -> DataFrame:
     """Cosine-near-duplicate pairs (id_a < id_b, cosine >= threshold) with
     the same web-scale shape as :func:`minhash_lsh_pairs`:
@@ -495,8 +516,9 @@ def embedding_near_dup_pairs(
     )
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return (
+    out = (
         pairs.withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
         .filter(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )
+    return _scope_candidate_persist(out, cand_ids) if eager else out

@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from anomaly_detection_spark.sampling import bounded_sample_rows
+
 
 def _norm(c):
     return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
@@ -198,13 +200,9 @@ def ivf_topk(
     ``n_probe`` closest cells; candidates = members of probed cells (one
     shuffle keyed by cell); exact cosine re-rank fetches candidate
     vectors via semi-join. Recall is tuned with n_probe/n_cells."""
-    vec_sample = corpus.select(vec_col)
-    n = vec_sample.count()
-    sample = vec_sample if n <= train_sample else vec_sample.sample(
-        fraction=min(1.0, train_sample * 1.2 / n), seed=seed
-    ).limit(train_sample)
-    X = np.stack([np.asarray(r[0], dtype=np.float64)
-                  for r in sample.collect()])
+    rows = bounded_sample_rows(corpus.select(vec_col), train_sample,
+                               seed=seed)
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     C = spherical_kmeans(X, n_cells, iters=kmeans_iters, seed=seed)
 
     def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

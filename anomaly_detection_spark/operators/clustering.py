@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from anomaly_detection_spark.sampling import bounded_sample_rows
+
 
 def _core_samples(X: np.ndarray, eps: float, min_samples: int,
                   max_train: int = 4096, seed: int = 0) -> np.ndarray:
@@ -190,12 +192,8 @@ def clustering_check_broadcast(
     """One global model: sample -> core samples on the driver -> broadcast
     the core matrix -> vectorized distance scoring over Arrow batches.
     The broadcast is tiny (core samples only); the scan is one pass."""
-    frac_df = df.select(*features)
-    n = frac_df.count()
-    sample = frac_df if n <= train_sample else frac_df.sample(
-        fraction=min(1.0, train_sample * 1.2 / n), seed=seed
-    ).limit(train_sample)
-    X = np.array([[r[c] for c in features] for r in sample.collect()],
+    rows = bounded_sample_rows(df.select(*features), train_sample, seed=seed)
+    X = np.array([[r[c] for c in features] for r in rows],
                  dtype=np.float64)
     cores = _core_samples(X, eps, min_samples)
     bc = spark.sparkContext.broadcast(cores)

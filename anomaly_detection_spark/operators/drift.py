@@ -196,45 +196,50 @@ def ks_exact(base: DataFrame, cur: DataFrame, value: str, *,
     )
     P = n_range_partitions or base.sparkSession.sparkContext.defaultParallelism
     # persist the range-partitioned frame: the totals job and the scan job
-    # must observe the SAME sampled range boundaries
+    # must observe the SAME sampled range boundaries. Scoped with
+    # try/finally (the result is one number, so materializing it here and
+    # unpersisting costs nothing and leaves no cached blocks behind).
     d = d.repartitionByRange(P, "v").sortWithinPartitions("v") \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    tot = (
-        d.select(F.spark_partition_id().alias("pid"), "db", "dc")
-        .groupBy("pid")
-        .agg(F.sum("db").alias("tb"), F.sum("dc").alias("tc"))
-        .collect()
-    )
-    nb = float(sum(r["tb"] for r in tot))
-    nc = float(sum(r["tc"] for r in tot))
-    if nb == 0 or nc == 0:
-        return base.sparkSession.createDataFrame(
-            [(float("nan"),)], "ks double")
-    offsets = {}
-    ob = oc = 0.0
-    for r in sorted(tot, key=lambda r: r["pid"]):
-        offsets[r["pid"]] = (ob, oc)
-        ob += r["tb"]
-        oc += r["tc"]
+    try:
+        tot = (
+            d.select(F.spark_partition_id().alias("pid"), "db", "dc")
+            .groupBy("pid")
+            .agg(F.sum("db").alias("tb"), F.sum("dc").alias("tc"))
+            .collect()
+        )
+        nb = float(sum(r["tb"] for r in tot))
+        nc = float(sum(r["tc"] for r in tot))
+        if nb == 0 or nc == 0:
+            return base.sparkSession.createDataFrame(
+                [(float("nan"),)], "ks double")
+        offsets = {}
+        ob = oc = 0.0
+        for r in sorted(tot, key=lambda r: r["pid"]):
+            offsets[r["pid"]] = (ob, oc)
+            ob += r["tb"]
+            oc += r["tc"]
 
-    def part_ks(batches):
-        from pyspark import TaskContext
+        def part_ks(batches):
+            from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        cb, cc = offsets.get(pid, (0.0, 0.0))
-        best = 0.0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cumb = cb + np.cumsum(pdf["db"].to_numpy(dtype=np.float64))
-            cumc = cc + np.cumsum(pdf["dc"].to_numpy(dtype=np.float64))
-            best = max(best, float(np.abs(cumb / nb - cumc / nc).max()))
-            cb, cc = float(cumb[-1]), float(cumc[-1])
-        yield pd.DataFrame({"d": [best]})
+            pid = TaskContext.get().partitionId()
+            cb, cc = offsets.get(pid, (0.0, 0.0))
+            best = 0.0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cumb = cb + np.cumsum(pdf["db"].to_numpy(dtype=np.float64))
+                cumc = cc + np.cumsum(pdf["dc"].to_numpy(dtype=np.float64))
+                best = max(best, float(np.abs(cumb / nb - cumc / nc).max()))
+                cb, cc = float(cumb[-1]), float(cumc[-1])
+            yield pd.DataFrame({"d": [best]})
 
-    out = d.mapInPandas(part_ks, schema="d double").agg(
-        F.max("d").alias("ks"))
-    return out
+        ks_val = d.mapInPandas(part_ks, schema="d double").agg(
+            F.max("d").alias("ks")).first()["ks"]
+    finally:
+        d.unpersist()
+    return base.sparkSession.createDataFrame([(float(ks_val),)], "ks double")
 
 
 def partition_stat_drift(

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from anomaly_detection_spark.sampling import bounded_sample_rows
+
 
 def _harmonic(n: float) -> float:
     return np.log(n) + 0.5772156649015329
@@ -122,6 +124,12 @@ class IsolationForest:
                 lo = mins[iflat, f]
                 hi = maxs[iflat, f]
                 thr = lo + rng.random(len(it)) * (hi - lo)
+                # a ~1-ulp span can round thr down to lo, which would send
+                # every row right (empty left child) and let node ids grow
+                # past the 2*psi bound; thr = nextafter(lo) keeps both
+                # children non-empty (min row goes left, max row right), so
+                # every split separates rows and node_count <= 2*psi - 1
+                thr = np.where(thr > lo, thr, np.nextafter(lo, hi))
                 # allocate children per tree (contiguous block per level)
                 per_tree = np.bincount(it, minlength=T)
                 # position of this node among its tree's internals here
@@ -492,13 +500,8 @@ def recon_drift_check(
     feats = list(features)
     keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
 
-    base = df.select(*feats)
-    n = base.count()
-    sample = base if n <= train_sample else base.sample(
-        fraction=min(1.0, train_sample * 1.2 / n), seed=seed
-    ).limit(train_sample)
-    X = np.array([[r[c] for c in feats] for r in sample.collect()],
-                 dtype=np.float64)
+    rows = bounded_sample_rows(df.select(*feats), train_sample, seed=seed)
+    X = np.array([[r[c] for c in feats] for r in rows], dtype=np.float64)
     mu = X.mean(axis=0)
     _, _, Vt = np.linalg.svd(X - mu, full_matrices=False)
     comps = Vt[:n_components]

@@ -845,7 +845,8 @@ def q_minhash_near_dup_documents(spark, sf_dir) -> DataFrame:
         "doc_id", F.col("doc_id") + 100_000
     )
     return minhash_lsh_pairs(
-        d.unionByName(planted), "doc_id", "text", jaccard_threshold=0.5
+        d.unionByName(planted), "doc_id", "text", jaccard_threshold=0.5,
+        eager=True,
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1470,7 +1471,8 @@ def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
     )
     corpus = emb.unionByName(clones)
     out = embedding_near_dup_pairs(corpus, "vec_id", "embedding",
-                                   cosine_threshold=0.95, n_planes=10)
+                                   cosine_threshold=0.95, n_planes=10,
+                                   eager=True)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1788,7 +1790,8 @@ SQL_REPAIR = f"""
 WITH s AS (
   SELECT event_id, user_id, CAST(value AS DOUBLE) AS v,
          row_number() OVER ({_W_USER}) AS rn,
-         CASE WHEN abs((value - 177.5) / 172.5) > 1.0
+         CASE WHEN NOT isnan(value)
+               AND abs((value - 177.5) / 172.5) > 1.0
               THEN 1.0 ELSE 0.0 END AS err
   FROM events),
 ser AS (
@@ -1821,7 +1824,8 @@ SQL_PERIODIC_REPAIR = f"""
 WITH s AS (
   SELECT event_id, user_id, CAST(value AS DOUBLE) AS v,
          row_number() OVER ({_W_USER}) AS rn,
-         CASE WHEN abs((value - 177.5) / 172.5) > 1.0
+         CASE WHEN NOT isnan(value)
+               AND abs((value - 177.5) / 172.5) > 1.0
               THEN 1.0 ELSE 0.0 END AS err
   FROM events),
 ser AS (
@@ -2018,7 +2022,7 @@ u AS (
   SELECT CAST(value AS DOUBLE) AS v,
          CASE WHEN floor(epoch(ts)) <= (SELECT m FROM h)
               THEN 1 ELSE 0 END AS s
-  FROM events WHERE value IS NOT NULL),
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
 d AS (SELECT v, CAST(sum(s) AS DOUBLE) AS db,
              CAST(sum(1 - s) AS DOUBLE) AS dc
       FROM u GROUP BY v),

@@ -105,10 +105,12 @@ def run_curate_mode(spark: SparkSession, args, t0: float) -> int:
         transitive_dedup=args.transitive,
     )
     curated, report = curate(docs, config=cfg)
-    stages = {r["stage"]: {"rows_in": r["rows_in"], "rows_out": r["rows_out"]}
-              for r in report.collect()}
+    # write FIRST: the report counters are observe metrics that ride the
+    # write job, so reading the report afterwards costs zero extra jobs
     if args.output:
         curated.write.mode("overwrite").parquet(args.output)
+    stages = {r["stage"]: {"rows_in": r["rows_in"], "rows_out": r["rows_out"]}
+              for r in report.collect()}
     result = {"stages": stages, "wall_s": round(time.time() - t0, 2)}
     if args.output:
         result["output"] = args.output

@@ -1,0 +1,102 @@
+"""Round-3 regression tests: observe-based curation reporting,
+sample-without-count model fits, epoch-parallel clustering retrain, and
+the derived-invariant recall queries for the LSH/ANN family."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def _jobs(spark) -> int:
+    tracker = spark.sparkContext.statusTracker()
+    return len(tracker.getJobIdsForGroup(None) or [])
+
+
+def test_curate_report_rides_output_job(spark, docs):
+    """with_report=True must execute the gate/dedup chain exactly once:
+    curate() itself runs one parquet-footer count job (rows_in), the
+    consumer's collect runs the chain, and reading the report afterwards
+    runs ZERO further jobs (counters arrived as observe metrics)."""
+    from anomaly_detection_spark.functions.curation import (
+        CurationConfig, curate,
+    )
+
+    cfg = CurationConfig(min_quality=0.3,
+                         allowed_langs=("en", "de", "fr", "es", "zh"),
+                         jaccard_threshold=0.6)
+    before = _jobs(spark)
+    curated, report = curate(docs.limit(300), config=cfg)
+    after_curate = _jobs(spark)
+    # only the rows_in count runs at curate() time (a limit+count executes
+    # incrementally, so it may account for 2 job ids); the gate/dedup
+    # chain itself must NOT run here
+    assert after_curate - before <= 2
+
+    n_out = curated.count()            # the consumer's output action
+    after_consume = _jobs(spark)
+
+    rows = {r[0]: (r[1], r[2]) for r in report.rows()}
+    assert _jobs(spark) == after_consume  # report added no jobs
+    assert rows["near_dedup"][1] == n_out
+    assert rows["quality_lang_gate"][0] == 300
+    # chain consistency: rows_out of each stage == rows_in of the next
+    assert rows["quality_lang_gate"][1] == rows["exact_dedup"][0]
+    assert rows["exact_dedup"][1] == rows["near_dedup"][0]
+
+
+def test_curate_report_before_consume_runs_once(spark, docs):
+    """Reading the report before any action on curated drives the plan
+    exactly once (a count) and later report reads are free."""
+    from anomaly_detection_spark.functions.curation import (
+        CurationConfig, curate,
+    )
+
+    curated, report = curate(
+        docs.limit(200),
+        config=CurationConfig(min_quality=0.3,
+                              allowed_langs=("en", "de", "fr", "es", "zh"),
+                              near_dedup=False),
+    )
+    rows1 = report.rows()
+    mid = _jobs(spark)
+    rows2 = report.rows()
+    assert _jobs(spark) == mid and rows1 == rows2
+    assert rows1[1][1] >= rows1[1][2]  # exact_dedup never grows rows
+
+
+def test_bounded_sample_rows(spark, docs):
+    """Model-fit sampling never runs a count job: bounded result on big
+    input, whole table on small input, deterministic across calls."""
+    from anomaly_detection_spark.sampling import bounded_sample_rows
+
+    sel = docs.select("doc_id")
+    before = _jobs(spark)
+    big = bounded_sample_rows(sel, 50)
+    assert len(big) == 50
+    # one incremental collect (limit may stage 2 job ids), never a count
+    assert _jobs(spark) - before <= 2
+    assert [r[0] for r in big] == [r[0] for r in bounded_sample_rows(sel, 50)]
+
+    small = bounded_sample_rows(sel.filter(F.col("doc_id") < 20), 50)
+    assert len(small) == sel.filter(F.col("doc_id") < 20).count()
+
+
+def test_eager_pair_dedup_leaves_no_cached_plans(spark, docs):
+    """eager=True scopes the candidate-set persist: after the call the
+    CacheManager holds no plans (localCheckpoint blocks are RDD-level,
+    GC-reclaimed), so repeated driver queries can't accumulate caches."""
+    from anomaly_detection_spark.functions.dedup import minhash_lsh_pairs
+
+    spark.catalog.clearCache()
+    d = docs.limit(150)
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", jaccard_threshold=0.5,
+                              eager=True)
+    assert pairs.count() >= 0
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
