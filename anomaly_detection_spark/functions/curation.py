@@ -66,12 +66,23 @@ class CurationReport:
     (stage, rows_in, rows_out, dropped) shape; a disabled report
     (``with_report=False``) is empty and never runs a job."""
 
-    def __init__(self, spark, curated=None, observations=None, n_raw=None):
+    def __init__(self, spark, curated=None, observations=None, n_raw=None,
+                 persists=None):
         self._spark = spark
         self._curated = curated
         self._obs: dict[str, Observation] = observations or {}
         self._n_raw = n_raw
         self._rows = None if observations else []
+        self._persists: list = persists or []
+
+    def release(self) -> None:
+        """Unpersist the pipeline's internal candidate-set caches (safe
+        any time AFTER the consumer's action; a no-op when nothing was
+        persisted). Reading counters via ``rows()`` calls this
+        automatically; ``with_report=False`` callers (streaming
+        foreachBatch) call it themselves once the batch is written."""
+        while self._persists:
+            self._persists.pop().unpersist()
 
     @staticmethod
     def _available(obs: Observation) -> bool:
@@ -96,6 +107,7 @@ class CurationReport:
         stages = [("quality_lang_gate", n0, n1), ("exact_dedup", n1, n2),
                   ("near_dedup", n2, n3)]
         self._rows = [(s, int(b), int(a), int(b - a)) for s, b, a in stages]
+        self.release()
 
     def rows(self) -> list[tuple]:
         self._ensure()
@@ -167,11 +179,13 @@ def curate(
     # two copies share the digest-window exchange when Spark reuses it;
     # either way the loser-id set is tiny and the anti-join is the only
     # consumer, so nothing needs a persist here (round-2 leak fixed).
+    persists: list = []
     if cfg.near_dedup:
         lsh_input = build(observe=False)[0] if with_report else exact
         pairs = minhash_lsh_pairs(
             lsh_input, id_col, text_col,
             jaccard_threshold=cfg.jaccard_threshold,
+            persist_registry=persists,
         )
         if cfg.transitive_dedup:
             from anomaly_detection_spark.functions.dedup import (
@@ -194,7 +208,9 @@ def curate(
     )
 
     if not with_report:
-        return curated, CurationReport(spark)
+        # the empty report still carries the persist registry so eager
+        # callers (streaming foreachBatch) can release() after writing
+        return curated, CurationReport(spark, persists=persists)
 
     n0 = df.count()  # column-pruned scan: parquet footer counts
-    return curated, CurationReport(spark, curated, obs, n0)
+    return curated, CurationReport(spark, curated, obs, n0, persists)

@@ -101,7 +101,7 @@ def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, *,
     shingle_k: int = 8, n_hashes: int = 16, bands: int = 4,
     jaccard_threshold: float = 0.7, max_bucket: int = 64,
-    eager: bool = False,
+    eager: bool = False, persist_registry: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -113,8 +113,9 @@ def minhash_lsh_pairs(
     ``eager=True`` materializes the (tiny) pair result now and releases
     the internal candidate-set persist before returning, so one-shot
     callers leave no cached blocks behind for the session lifetime;
-    default lazy keeps the pure-pipeline shape (curation composes it
-    under its own execution discipline).
+    default lazy keeps the pure-pipeline shape. Lazy callers that want
+    cleanup pass ``persist_registry`` (a list) and unpersist its frames
+    once their own action has run (curation's report does this).
     """
     rows_per_band = n_hashes // bands
 
@@ -182,10 +183,14 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # consumed by BOTH the verify semi-join and the final pair join; without
-    # materialization the whole signature pipeline executes twice. LSH
-    # candidates are a vanishing fraction of the corpus, so this is small.
+    # materialization the whole signature pipeline executes twice (measured
+    # 2.5x on sf0.01 — the two consumers' subplans differ, so Spark never
+    # plans a ReusedExchange). LSH candidates are a vanishing fraction of
+    # the corpus, so this is small.
     from pyspark.storagelevel import StorageLevel
     cand_ids = cand_ids.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_registry is not None:
+        persist_registry.append(cand_ids)
 
     # Stage 3 — exact-Jaccard verify: shingles recomputed ONLY for docs
     # that appear in a candidate pair (broadcast semi-join pushdown), so
@@ -429,7 +434,7 @@ def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, *,
     cosine_threshold: float = 0.95, n_planes: int = 12, n_tables: int = 4,
     seed: int = 0, dim: int | None = None, max_bucket: int = 256,
-    eager: bool = False,
+    eager: bool = False, persist_registry: list | None = None,
 ) -> DataFrame:
     """Cosine-near-duplicate pairs (id_a < id_b, cosine >= threshold) with
     the same web-scale shape as :func:`minhash_lsh_pairs`:
@@ -493,6 +498,8 @@ def embedding_near_dup_pairs(
     )
     from pyspark.storagelevel import StorageLevel
     cand_ids = cand_ids.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_registry is not None:
+        persist_registry.append(cand_ids)
 
     cand_docs = cand_ids.select(F.col("id_a").alias("_id")).union(
         cand_ids.select(F.col("id_b").alias("_id"))

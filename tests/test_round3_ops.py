@@ -43,6 +43,8 @@ def test_curate_report_rides_output_job(spark, docs):
 
     rows = {r[0]: (r[1], r[2]) for r in report.rows()}
     assert _jobs(spark) == after_consume  # report added no jobs
+    # reading the counters released the pipeline's internal persists
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
     assert rows["near_dedup"][1] == n_out
     assert rows["quality_lang_gate"][0] == 300
     # chain consistency: rows_out of each stage == rows_in of the next
