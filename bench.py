@@ -24,19 +24,17 @@ HEADLINE = [
     "flagship_pricing_summary",        # scan -> filter -> hash agg
     "constraint_suite_documents",      # row-level constraint codes
     "border_summary_lineitem",         # ladder expr + agg
-    "welford_windowed_events",         # window functions
-    "welford_streaming_events",        # expanding window
+    "welford_suite_events",            # window + expanding-window verdicts
     "hampel_check_events",             # collect_list window + HOFs
-    "ema_check_events",                # applyInPandas recurrence
+    "ema_suite_events",                # EMA recurrence + rolling quantile
     "percent_score_events",            # event-time range frame
     "column_stats_documents",          # group stats
     "salted_stats_lineitem",           # two-level salted agg
     "welford_profile_events",          # mapInPandas sketch + merge
     "duplicate_orderkeys",             # salted uniqueness
     "referential_lineitem_part_bloom", # bloom + anti join
-    "token_counts_documents",          # text HOF expressions
+    "quality_tokens_documents",        # quality features + token counts
     "lang_id_documents",               # marker-count expressions
-    "quality_documents",               # quality features
     "fingerprint_documents",           # rolling-hash HOF
     "minhash_near_dup_documents",      # LSH shuffle + verify join
     "simhash_signatures_documents",    # vectorized pandas UDF
@@ -44,19 +42,17 @@ HEADLINE = [
     "iforest_embeddings",              # per-group numpy forest
     "percentile_check_events",         # exact percentile windows
     "linear_fit_events",               # regr_slope windows
-    "macd_check_events",               # dual-EMA recurrence
-    "cumulative_check_events",         # decayed cusum recurrence
-    "ema_percentile_events",           # EMA + rolling quantile
+    "macd_cusum_events",               # dual-EMA + decayed cusum recurrences
     "time_averages_events",            # event-time range frames
     "trend_classification_events",     # sign-of-slope convolution
     "asof_band_check_events",          # as-of join band check
     "clustering_embeddings",           # DBSCAN-core distance check
-    "combination_and_or_events",       # suite composition
+    "combination_alicante_events",     # suite composition + alicante score
     # round 2 additions (totals are NOT comparable to BENCH_r01's 31-query
     # suite; compare per-query timings)
     "filtering_check_events",          # per-series Butterworth IIR
-    "repair_events",                   # feedback repair recurrence
-    "lsh_topk_embeddings",             # GEMM sign-bucket ANN
+    "repair_suite_events",             # feedback repair recurrences
+    "lsh_topk_embeddings",             # GEMM sign-bucket ANN + recall invariant
     "iforest_retrain_events",          # rolling-retrain forests per epoch
     "curation_gate_documents",         # fused quality gate + exact dedup
     "ks_exact_events",                 # exact KS via range-partitioned prefix sums

@@ -12,13 +12,15 @@ SF_DIR = "/root/testdata/sf0.001"
 
 SAMPLE = [
     "flagship_pricing_summary",       # agg
-    "welford_windowed_events",        # window
-    "ema_check_events",               # applyInPandas recurrence
+    "welford_suite_events",           # window + expanding window
+    "ema_suite_events",               # applyInPandas recurrence + quantile
     "hampel_check_events",            # list-window median/MAD
     "asof_band_check_events",         # as-of join
     "partition_verdicts_documents",   # audit-shaped verdicts
     "lang_id_documents",              # text expressions
     "cosine_topk_embeddings",         # similarity
+    "minhash_near_dup_documents",     # LSH recall derived-invariant
+    "lsh_topk_embeddings",            # ANN recall derived-invariant
 ]
 
 

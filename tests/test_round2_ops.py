@@ -528,13 +528,12 @@ def test_registry_references_consistent():
     50-entry window must be fully oracle-backed."""
     import bench
     from anomaly_detection_spark.queries import (
-        _ORACLE_DEPRIORITIZED, _ROWS_ONLY_PRIORITY, REGISTRY,
+        _ROWS_ONLY_PRIORITY, REGISTRY,
     )
 
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert not missing, f"bench names not in REGISTRY: {missing}"
-    missing = [n for n in _ROWS_ONLY_PRIORITY + _ORACLE_DEPRIORITIZED
-               if n not in REGISTRY]
+    missing = [n for n in _ROWS_ONLY_PRIORITY if n not in REGISTRY]
     assert not missing, f"ordering names not in REGISTRY: {missing}"
     window = list(REGISTRY)[:50]
     assert all(REGISTRY[n][1] is not None for n in window), \
