@@ -109,16 +109,20 @@ def clustering_retrain_check(
     seeds the memory; without it, epoch-0 rows are Undefined(2). ``epoch``
     in the output is the reference's retrain_counter.
 
-    This is the PARITY path: epochs run in a per-series loop (the seeded
-    memory makes buffers straddle the train-file/stream boundary, which the
-    exploded epoch-parallel encoding cannot express cleanly). At corpus
-    scale, series count >> cores so per-series parallelism suffices; for a
-    few very long series use the iForest operator's epoch-parallel shape
-    (mvoutlier.iforest_retrain_check) as the template."""
-    from anomaly_detection_spark.operators.sequential import (
-        _grouped, _out_schema, _per_series,
-    )
-
+    EPOCH-PARALLEL (round 3, mirroring mvoutlier.iforest_retrain_check):
+    with bounded memory the fire schedule is closed-form — first fire at
+    ``max(R, S - seeded)`` (the seeded train-file rows count toward
+    filling the buffer), then every R rows — so each row explodes into
+    its score epoch plus the <= ceil(S/R) epochs whose trailing buffer
+    contains it, and ONE shuffle on (series, epoch) fans per-epoch
+    fit+score across series x epochs tasks. The seeded-memory prefix
+    never rides the shuffle: it is a bounded (<= S rows) driver-side
+    array carried in the task closure, and each epoch prepends exactly
+    the ``max(0, S - fire_k)`` tail rows the trailing buffer still needs
+    — the train-file/stream boundary is just negative row indices.
+    ``samples_for_retrain=None`` (unbounded memory) falls back to the
+    per-series sequential form (the train duplication would be
+    unbounded)."""
     keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
     feats = list(features)
     cols = list(keys_l) + [order] + list(extra_cols)
@@ -132,6 +136,99 @@ def clustering_retrain_check(
     mem0 = init if init is None or S is None else init[-S:]
     init_cores = (_core_samples(init, eps, min_samples)
                   if init is not None else None)
+    if S is None:
+        return _clustering_retrain_sequential(
+            df, keys_l, order, feats, eps=eps, min_samples=min_samples,
+            treshold=treshold, R=R, S=S, mem0=mem0, init_cores=init_cores,
+            extra_cols=extra_cols, out=out)
+
+    seeded = 0 if mem0 is None else len(mem0)
+    first = max(R, int(S) - seeded)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys_l).orderBy(order)
+    base = df.select(*cols, *feats).withColumn("_rn", F.row_number().over(w))
+    rn = F.col("_rn").cast("double")
+    score_e = F.when(F.col("_rn") <= first, F.lit(0)).otherwise(
+        F.ceil((rn - first) / R).cast("int"))
+    # train epochs k: fire F_k = first + (k-1)R with F_k - S < rn <= F_k
+    klo = F.greatest(F.lit(1), (F.ceil((rn - first) / R) + 1).cast("int"))
+    khi = F.ceil((rn + S - first) / R).cast("int")
+    ks = F.when(khi >= klo, F.sequence(klo, khi)) \
+        .otherwise(F.array().cast("array<int>"))
+    roles = F.concat(
+        F.array(F.struct(score_e.alias("e"), F.lit(0).alias("t"))),
+        F.transform(ks, lambda k: F.struct(k.cast("int").alias("e"),
+                                           F.lit(1).alias("t"))),
+    )
+    exploded = base.select(
+        *cols, *feats, "_rn", F.explode(roles).alias("_er")
+    ).select(*cols, *feats, "_rn",
+             F.col("_er.e").alias("_epoch"), F.col("_er.t").alias("_train"))
+
+    out_cols = list(cols) + ["min_core_dist", "epoch", out]
+
+    def fit_score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn", kind="mergesort")
+        sc = pdf[pdf["_train"] == 0]
+        o = sc[cols].copy()
+        epoch = int(pdf["_epoch"].iloc[0])
+        o["epoch"] = np.int32(epoch)
+        if not len(sc):
+            o["min_core_dist"] = np.zeros(0)
+            o[out] = np.zeros(0, dtype=np.int32)
+            return o[out_cols]
+        if epoch == 0:
+            cores = init_cores
+        else:
+            fk = first + (epoch - 1) * R
+            Xt = pdf[pdf["_train"] == 1][feats].to_numpy(dtype=np.float64)
+            mem_needed = min(seeded, max(0, int(S) - fk))
+            if mem_needed > 0:
+                # memory-first, then stream — same order the sequential
+                # buffer concatenation uses (matters only for the
+                # deterministic subsample above max_train)
+                Xt = np.vstack([mem0[seeded - mem_needed:], Xt]) \
+                    if len(Xt) else mem0[seeded - mem_needed:]
+            cores = _core_samples(Xt, eps, min_samples)
+        if cores is None:          # epoch 0 without a train file
+            o["min_core_dist"] = np.inf
+            o[out] = np.int32(2)
+            return o[out_cols]
+        d = _min_dist(sc[feats].to_numpy(dtype=np.float64), cores)
+        o["min_core_dist"] = d
+        o[out] = np.where(d >= treshold, -1, 1).astype(np.int32)
+        return o[out_cols]
+
+    from anomaly_detection_spark.operators.sequential import _out_schema
+
+    schema = _out_schema(df, cols,
+                         f"min_core_dist double, epoch int, {out} int")
+    # explicit-count repartition: the per-(series, epoch) python fit is
+    # CPU-bound on tiny shuffle bytes, so AQE would coalesce the groups
+    # onto few tasks (PLANS.md lesson 8)
+    n_part = exploded.sparkSession.sparkContext.defaultParallelism
+    return (
+        exploded.repartition(n_part, *keys_l, "_epoch")
+        .groupBy(*keys_l, "_epoch")
+        .applyInPandas(lambda pdf: fit_score(pdf), schema=schema)
+    )
+
+
+def _clustering_retrain_sequential(
+    df: DataFrame, keys_l, order: str, feats, *,
+    eps: float, min_samples: int, treshold: float,
+    R: int, S, mem0, init_cores, extra_cols: Sequence[str], out: str,
+) -> DataFrame:
+    """Unbounded-memory form (samples_for_retrain=None): the train buffer
+    is everything seen so far, so epochs are computed per series (Python
+    loop over EPOCHS, never rows)."""
+    from anomaly_detection_spark.operators.sequential import (
+        _grouped, _out_schema, _per_series,
+    )
+
+    cols = list(keys_l) + [order] + list(extra_cols)
 
     def one(g: pd.DataFrame) -> pd.DataFrame:
         X = g[feats].to_numpy(dtype=np.float64)

@@ -89,6 +89,53 @@ def test_bounded_sample_rows(spark, docs):
     assert len(small) == sel.filter(F.col("doc_id") < 20).count()
 
 
+def test_clustering_retrain_epoch_parallel_matches_simulation(spark):
+    """The round-3 epoch-parallel clustering retrain must equal a direct
+    numpy simulation of the reference recurrence (seeded memory buffer,
+    trailing-S trim, fire every R once full) on a long series whose
+    buffers straddle the train-file boundary."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.clustering import (
+        _core_samples, _min_dist, clustering_retrain_check,
+    )
+
+    rng = np.random.default_rng(7)
+    n, R, S = 900, 40, 100
+    train = rng.normal(scale=3.0, size=(130, 2))
+    X = rng.normal(scale=3.0, size=(n, 2))
+    eps, min_samples, th = 2.0, 4, 4.0
+
+    # numpy simulation of the sequential reference recurrence
+    mem = list(train[-S:])
+    seeded = len(mem)
+    cores = _core_samples(train, eps, min_samples)
+    exp_code, exp_epoch = [], []
+    since, epoch = 0, 0
+    for i in range(n):
+        d = _min_dist(X[i:i + 1], cores)[0]
+        exp_code.append(2 if cores is None else (-1 if d >= th else 1))
+        exp_epoch.append(epoch)
+        mem.append(X[i])
+        mem = mem[-S:]
+        since += 1
+        if since >= R and seeded + i + 1 >= S:
+            cores = _core_samples(np.asarray(mem), eps, min_samples)
+            since, epoch = 0, epoch + 1
+
+    rows = [("s", float(i), float(v[0]), float(v[1]))
+            for i, v in enumerate(X)]
+    df = spark.createDataFrame(
+        rows, "series string, ts double, f1 double, f2 double")
+    got = clustering_retrain_check(
+        df, "series", "ts", ["f1", "f2"],
+        eps=eps, min_samples=min_samples, treshold=th,
+        retrain_interval=R, samples_for_retrain=S, initial_train=train,
+    ).orderBy("ts").collect()
+    assert [r["code"] for r in got] == exp_code
+    assert [r["epoch"] for r in got] == exp_epoch
+
+
 def test_eager_pair_dedup_leaves_no_cached_plans(spark, docs):
     """eager=True scopes the candidate-set persist: after the call the
     CacheManager holds no plans (localCheckpoint blocks are RDD-level,
