@@ -1,12 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed through ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake decode, clearly marked) — but everything Spark-side
-is real and tested: the schema contract, Arrow batch shapes, partition
-sizing for large blobs, and the UDF signatures a real decoder would slot
-into. Swapping ``_fake_decode_rgb`` for PIL/libvips is a one-function
-change on the executor side.
+The image decode tries PIL at call time on the executor and uses it when
+present (real pixels, undecodable payloads -> decode_ok=False); in
+codec-free containers like this sandbox it falls back to a clearly
+marked deterministic stub so everything Spark-side stays real and
+tested: the schema contract, Arrow batch shapes, partition sizing for
+large blobs, and the UDF signatures.
 
 Scale notes: blob tables should set
 ``spark.sql.files.maxPartitionBytes`` low enough that one task's Arrow
@@ -89,6 +89,27 @@ def _fake_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.tile(buf, reps)[:need].reshape(height, width, 3)
 
 
+def _decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Real decode when PIL exists in the environment (imported at call
+    time on the EXECUTOR — the driver container may differ), otherwise
+    the deterministic stub. With PIL present, an undecodable payload
+    raises (-> decode_ok=False) instead of silently faking; without it,
+    the stub keeps the plumbing testable in codec-free sandboxes."""
+    try:
+        from PIL import Image  # optional dependency, absent in sandbox
+    except ImportError:
+        return _fake_decode_rgb(payload, width, height)
+    import io
+
+    if payload is None:
+        raise NotImplementedError("no payload to decode")
+    try:
+        img = Image.open(io.BytesIO(bytes(payload))).convert("RGB")
+    except Exception as e:
+        raise ValueError(f"undecodable image payload: {e}") from e
+    return np.asarray(img, dtype=np.uint8)
+
+
 def image_features(df: DataFrame, *, resize_to: int = 32) -> DataFrame:
     """Decode -> resize (area-mean pooling) -> 12-dim color-stat feature
     vector, one mapInPandas stage. Output keeps media_id only — blobs are
@@ -101,7 +122,7 @@ def image_features(df: DataFrame, *, resize_to: int = 32) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
             ):
                 try:
-                    img = _fake_decode_rgb(payload, w, h)
+                    img = _decode_rgb(payload, w, h)
                     # nearest-neighbor resize to (resize_to, resize_to)
                     yi = (np.arange(resize_to) * img.shape[0] // resize_to)
                     xi = (np.arange(resize_to) * img.shape[1] // resize_to)

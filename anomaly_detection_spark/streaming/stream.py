@@ -190,3 +190,67 @@ def run_foreach_batch(result: DataFrame, fn, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def streaming_curate(
+    spark: SparkSession, *, input_dir: str, schema, output_dir: str,
+    checkpoint: str, ledger, config=None, run_id: str | None = None,
+    fmt: str = "parquet",
+):
+    """Streaming curation end-to-end: readStream -> foreachBatch ->
+    batch ``curate()`` -> parquet append + ONE audit-ledger row per
+    micro-batch.
+
+    Each micro-batch runs the full curation chain exactly once (the
+    stage counters are observe metrics riding the output write, plus a
+    second observe node for the quality moments and the order-
+    insensitive lineage fingerprint), then commits an audit row keyed
+    ``batch_<id>``. Restart resumes from Spark's checkpoint; if a crash
+    makes Spark REDELIVER the last uncommitted micro-batch, the
+    ledger's pending() guard skips batches whose audit row already
+    committed — so output append + audit append are effectively
+    exactly-once per batch id. Returns the StreamingQuery."""
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+
+    from anomaly_detection_spark.audit import AUDIT_SCHEMA
+    from anomaly_detection_spark.functions.curation import curate
+
+    rid = run_id or _uuid.uuid4().hex[:12]
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        key = f"batch_{batch_id}"
+        todo = ledger.pending(
+            spark.createDataFrame([(key,)], "partition_key string"))
+        if todo.isEmpty():
+            return                       # redelivered after a crash
+        t0 = _time.time()
+        curated, report = curate(batch_df, config=config)
+        obs = Observation()
+        to_write = curated.observe(
+            obs,
+            F.avg("quality").alias("mean"),
+            (F.var_pop("quality") * F.count("quality")).alias("m2"),
+            F.bit_xor(F.xxhash64("doc_id")).alias("fp"),
+        )
+        to_write.write.mode("append").format(fmt).save(output_dir)
+        stages = {r[0]: r for r in report.rows()}   # counters rode the write
+        report.release()
+        n_gate_drop = stages["quality_lang_gate"][3] + stages["exact_dedup"][3]
+        n_near_drop = stages["near_dedup"][3]
+        n_out = stages["near_dedup"][2]
+        m = obs.get
+        ledger.append(spark.createDataFrame(
+            [(key, rid, _time.time(), int(n_out),
+              int(m["fp"]) if m["fp"] is not None else 0,
+              float(m["mean"]) if m["mean"] is not None else float("nan"),
+              float(m["m2"]) if m["m2"] is not None else float("nan"),
+              int(n_gate_drop), int(n_near_drop), 0,
+              "pass", _time.time() - t0)],
+            AUDIT_SCHEMA,
+        ))
+
+    stream = stream_source(spark, path=input_dir, schema=schema, fmt=fmt)
+    return run_foreach_batch(stream, handle, checkpoint)

@@ -72,6 +72,41 @@ def test_curate_report_before_consume_runs_once(spark, docs):
     assert rows1[1][1] >= rows1[1][2]  # exact_dedup never grows rows
 
 
+def test_decode_rgb_routes_to_pil_when_available(monkeypatch):
+    """_decode_rgb must use PIL when importable (real decode; failures
+    surface as ValueError -> decode_ok=False) and fall back to the
+    deterministic stub only when PIL is absent (this sandbox)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from anomaly_detection_spark.functions import multimodal as mm
+
+    class FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return np.full((4, 4, 3), 7, dtype=np.uint8)
+
+    pil = types.ModuleType("PIL")
+    pil.Image = types.SimpleNamespace(open=lambda b: FakeImg())
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    out = mm._decode_rgb(b"anything", 8, 8)
+    assert out.shape == (4, 4, 3) and (out == 7).all()  # PIL path, not stub
+
+    pil.Image = types.SimpleNamespace(
+        open=lambda b: (_ for _ in ()).throw(OSError("bad image")))
+    with pytest.raises(ValueError):
+        mm._decode_rgb(b"garbage", 8, 8)
+
+    monkeypatch.delitem(sys.modules, "PIL")
+    stub = mm._decode_rgb(b"\x01\x02\x03", 8, 8)
+    assert stub.shape == (8, 8, 3)                      # stub tiling path
+
+
 def test_bounded_sample_rows(spark, docs):
     """Model-fit sampling never runs a count job: bounded result on big
     input, whole table on small input, deterministic across calls."""
@@ -87,6 +122,60 @@ def test_bounded_sample_rows(spark, docs):
 
     small = bounded_sample_rows(sel.filter(F.col("doc_id") < 20), 50)
     assert len(small) == sel.filter(F.col("doc_id") < 20).count()
+
+
+def test_streaming_curate_commits_and_resumes(spark, docs, tmp_path):
+    """foreachBatch curation end-to-end: audit rows commit across >= 2
+    micro-batches; a stopped stream restarted on the same checkpoint
+    picks up only new files, never duplicates a committed batch, and the
+    curated parquet output matches the ledger's row accounting."""
+    from anomaly_detection_spark.audit import AuditLedger
+    from anomaly_detection_spark.functions.curation import CurationConfig
+    from anomaly_detection_spark.streaming.stream import streaming_curate
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    ledger = AuditLedger(spark, str(tmp_path / "audit"))
+    cfg = CurationConfig(min_quality=0.3,
+                         allowed_langs=("en", "de", "fr", "es", "zh"),
+                         jaccard_threshold=0.6)
+    schema = docs.schema
+
+    docs.filter(F.col("doc_id") < 150).write.parquet(in_dir)
+    q = streaming_curate(spark, input_dir=in_dir, schema=schema,
+                         output_dir=out_dir, checkpoint=ck, ledger=ledger,
+                         config=cfg)
+    q.processAllAvailable()
+    docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)) \
+        .write.mode("append").parquet(in_dir)
+    q.processAllAvailable()
+    q.stop()
+
+    committed = ledger.committed().collect()
+    assert {r["partition_key"] for r in committed} >= {"batch_0", "batch_1"}
+    n_batches_1 = len(committed)
+    assert len({r["partition_key"] for r in committed}) == n_batches_1
+
+    # restart on the same checkpoint: nothing new -> no new commits;
+    # a third file -> exactly the new batches commit
+    q2 = streaming_curate(spark, input_dir=in_dir, schema=schema,
+                          output_dir=out_dir, checkpoint=ck, ledger=ledger,
+                          config=cfg)
+    q2.processAllAvailable()
+    assert len(ledger.committed().collect()) == n_batches_1
+    docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)) \
+        .write.mode("append").parquet(in_dir)
+    q2.processAllAvailable()
+    q2.stop()
+
+    final = ledger.committed().collect()
+    keys = [r["partition_key"] for r in final]
+    assert len(keys) == len(set(keys))          # no duplicate commits
+    assert len(final) > n_batches_1
+    n_out = spark.read.parquet(out_dir).count()
+    assert n_out == sum(r["n_rows"] for r in final)
+    assert all(r["verdict"] == "pass" for r in final)
 
 
 def test_clustering_retrain_epoch_parallel_matches_simulation(spark):
