@@ -96,10 +96,22 @@ class CurationReport:
             return
         first = next(iter(self._obs.values()))
         if not self._available(first):
-            # no action has consumed `curated` yet: drive the plan once
-            # ourselves (this is the ONLY execution reporting ever adds,
-            # and only on report-before-output access patterns)
-            self._curated.count()
+            # Observe metrics arrive via an ASYNC QueryExecutionListener,
+            # so a consumer action that just returned may not have
+            # delivered them yet — poll briefly before concluding that no
+            # action ran (a spurious count() here would both waste a job
+            # and double-fire the metrics).
+            import time as _time
+
+            for _ in range(20):
+                _time.sleep(0.05)
+                if self._available(first):
+                    break
+            else:
+                # no action has consumed `curated`: drive the plan once
+                # ourselves (the ONLY execution reporting ever adds, and
+                # only on report-before-output access patterns)
+                self._curated.count()
         n1 = int(self._obs["gated"].get["n"])
         n2 = int(self._obs["exact"].get["n"])
         n3 = int(self._obs["final"].get["n"]) if "final" in self._obs else n2

@@ -2087,11 +2087,23 @@ REGISTRY.update({
 # ---------------------------------------------------------------------------
 
 def q_welford_suite_events(spark, sf_dir) -> DataFrame:
-    a = q_welford_windowed_events(spark, sf_dir) \
-        .withColumnRenamed("code", "code_windowed")
-    b = q_welford_streaming_events(spark, sf_dir) \
-        .withColumnRenamed("code", "code_streaming")
-    return a.join(b, "event_id")
+    """Both Welford variants CHAINED on one frame (each is a
+    column-preserving withColumn over the same (user_id, ts) window
+    partitioning): single scan, single shuffle — no join of derived
+    frames (PLANS.md perf rule)."""
+    from anomaly_detection_spark.operators.windowed import (
+        welford_streaming, welford_windowed,
+    )
+
+    e = welford_windowed(
+        _events(spark, sf_dir), "user_id", "ts", "value", N=10, X=3.0,
+        warning_stages=(0.9,), out="code_windowed",
+    )
+    e = welford_streaming(
+        e, "user_id", "ts", "value", X=3.0,
+        warning_stages=(0.9,), out="code_streaming",
+    )
+    return e.select("event_id", "code_windowed", "code_streaming")
 
 
 SQL_WELFORD_SUITE = f"""
@@ -2151,10 +2163,36 @@ FROM a JOIN b ON a.event_id = b.event_id
 
 
 def q_combination_alicante_events(spark, sf_dir) -> DataFrame:
-    a = q_combination_and_or_events(spark, sf_dir)
-    b = q_percent_score_alicante_events(spark, sf_dir) \
-        .select("event_id", F.col("score").alias("alicante_score"))
-    return a.join(b, "event_id")
+    """Combination AND/OR + Alicante score CHAINED on one frame: all
+    three are column-preserving ops over the same user_id partitioning,
+    so the plan is one scan + one shuffle + two sorts (ts and epoch-
+    second orderings) instead of a join of derived frames."""
+    from anomaly_detection_spark.codes import ladder_status, normalized
+    from anomaly_detection_spark.operators.combination import (
+        combine_and, combine_or,
+    )
+    from anomaly_detection_spark.operators.windowed import (
+        percent_score_alicante, welford_windowed,
+    )
+
+    vn = 2.0 * (F.col("value") - 250.0) / 500.0
+    e = welford_windowed(
+        _events(spark, sf_dir), "user_id", "ts", "value", N=10, X=3.0,
+        warning_stages=(0.9,), out="c_w",
+    ).withColumn("c_b", ladder_code(vn, (0.8,)))
+    e = e.withColumn(
+        "status", ladder_status(normalized(F.col("value"), 0.0, 300.0), (0.9,))
+    )
+    e = percent_score_alicante(
+        e, "user_id", "ts", ["status"], interval=86400, num_in_interval=5,
+        out="alicante_score",
+    )
+    return e.select(
+        "event_id",
+        combine_and(["c_w", "c_b"]).alias("code_and"),
+        combine_or(["c_w", "c_b"]).alias("code_or"),
+        F.round("alicante_score", 6).alias("alicante_score"),
+    )
 
 
 SQL_COMBINATION_ALICANTE = f"""
@@ -2165,9 +2203,25 @@ FROM a JOIN b ON a.event_id = b.event_id
 
 
 def q_quality_tokens_documents(spark, sf_dir) -> DataFrame:
-    a = q_quality_documents(spark, sf_dir)
-    b = q_token_counts_documents(spark, sf_dir)
-    return a.join(b, "doc_id")
+    """Quality features + token counts in ONE narrow projection (all
+    pure expressions over text) — no join, no shuffle."""
+    from anomaly_detection_spark.functions.text import (
+        bpe_ish_token_count, quality_features, quality_score,
+        ws_token_count,
+    )
+
+    d = _docs(spark, sf_dir)
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        F.round(feats["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(feats["mean_word_len"], 6).alias("mean_word_len"),
+        feats["stopword_hits"].alias("stopword_hits"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
 
 
 SQL_QUALITY_TOKENS = f"""
@@ -2241,12 +2295,21 @@ def q_minhash_near_dup_documents(spark, sf_dir) -> DataFrame:
     corpus = _ngram_slice_corpus(spark, sf_dir)
     exact = ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_k=8,
                                 jaccard_threshold=0.6)
+    persists: list = []
     lsh = minhash_lsh_pairs(corpus, "doc_id", "text",
-                            jaccard_threshold=0.6, eager=True)
+                            jaccard_threshold=0.6,
+                            persist_registry=persists)
     hit = exact.join(
         lsh.select("id_a", "id_b", F.lit(True).alias("_hit")),
         ["id_a", "id_b"], "left",
     ).withColumn("_found", F.coalesce("_hit", F.lit(False)))
+    # the pair set is tiny; materialize it ONCE (single execution of the
+    # exact-Jaccard and LSH pipelines, RDD-level blocks reclaimed by the
+    # ContextCleaner) so the recall aggregate and the output projection
+    # don't each re-run upstream, then release the LSH candidate persist
+    hit = hit.localCheckpoint(eager=True)
+    while persists:
+        persists.pop().unpersist()
     recall = hit.agg(
         (F.avg(F.col("_found").cast("double")) >= 0.5).alias("recall_ok"))
     return hit.crossJoin(F.broadcast(recall)).select(
