@@ -1924,8 +1924,32 @@ FROM ep p LEFT JOIN md ON p.event_id = md.event_id
 """
 
 
+def q_rrcf_stream_events(spark, sf_dir) -> DataFrame:
+    """Streaming RRCF (insert/forget/CoDisp per the published Guha et
+    al. construction; the round-2 gap) per user series on (value, lag)
+    vectors. Rows-only: the forest's random cuts are seeded but not
+    SQL-expressible; invariants (window bound, structure, spike
+    detection, forget-undoes-insert) are pytest-covered."""
+    from anomaly_detection_spark.operators.rrcf import rrcf_stream_check
+    from anomaly_detection_spark.operators.windowed import shift_features
+
+    e = shift_features(_events(spark, sf_dir), "user_id", "ts", "value", [1])
+    # a quarter of the series (deterministic hash slice): the recurrence
+    # is Python-per-row by nature (as in the reference), so the query
+    # bounds its wall clock while exercising every series length
+    e = e.filter(F.col("shift_1").isNotNull()
+                 & (F.pmod(F.xxhash64("user_id"), F.lit(4)) == 0))
+    return rrcf_stream_check(
+        e, "user_id", "ts", ["value", "shift_1"],
+        num_trees=8, tree_size=64, threshold=12.0,
+        extra_cols=("event_id",),
+    ).select("event_id", "user_id", F.round("codisp", 6).alias("codisp"),
+             "code")
+
+
 REGISTRY.update({
     "time_of_day_events": (q_time_of_day_events, SQL_TIME_OF_DAY),
+    "rrcf_stream_events": (q_rrcf_stream_events, None),
     "iforest_retrain_events": (q_iforest_retrain_events, None),
     "clustering_retrain_events": (q_clustering_retrain_events,
                                   SQL_CLUSTERING_RETRAIN),
@@ -2541,6 +2565,7 @@ _ROWS_ONLY_PRIORITY = [
     "iforest_embeddings",           # multivariate outlier flagship
     "iforest_retrain_events",       # reference retrain semantics
     "clustering_retrain_events",    # deterministic retrain (golden-tested)
+    "rrcf_stream_events",           # streaming insert/forget RRCF
     "simhash_signatures_documents",
     "pca_iforest_embeddings",
     "recon_drift_events",

