@@ -30,6 +30,10 @@ def test_curate_report_rides_output_job(spark, docs):
     cfg = CurationConfig(min_quality=0.3,
                          allowed_langs=("en", "de", "fr", "es", "zh"),
                          jaccard_threshold=0.6)
+    # other test modules' fixtures legitimately cache frames for the
+    # session lifetime; the empty-cache assertion below is about THIS
+    # pipeline's persists, so start from a clean cache manager
+    spark.catalog.clearCache()
     before = _jobs(spark)
     curated, report = curate(docs.limit(300), config=cfg)
     after_curate = _jobs(spark)
