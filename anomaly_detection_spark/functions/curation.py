@@ -55,6 +55,17 @@ class CurationConfig:
 _REPORT_SCHEMA = "stage string, rows_in long, rows_out long, dropped long"
 
 
+def _release_persists(persists: list) -> None:
+    """Module-level so a weakref finalizer can call it; swallows JVM
+    errors (interpreter/session shutdown races are fine to ignore)."""
+    while persists:
+        frame = persists.pop()
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+
+
 class CurationReport:
     """Stage counters delivered through ``df.observe`` metrics on the
     curated plan: they are computed by whatever action the CALLER runs
@@ -73,23 +84,39 @@ class CurationReport:
         self._obs: dict[str, Observation] = observations or {}
         self._n_raw = n_raw
         self._rows = None if observations else []
-        self._persists: list = persists or []
+        self._persists: list = persists if persists is not None else []
+        # callers that discard the report (``curated, _ = curate(...)``)
+        # must not leak the pipeline's internal persists for the session
+        # lifetime: a GC finalizer drains whatever release() hasn't
+        import weakref
+
+        self._finalizer = weakref.finalize(
+            self, _release_persists, self._persists)
 
     def release(self) -> None:
         """Unpersist the pipeline's internal candidate-set caches (safe
         any time AFTER the consumer's action; a no-op when nothing was
         persisted). Reading counters via ``rows()`` calls this
         automatically; ``with_report=False`` callers (streaming
-        foreachBatch) call it themselves once the batch is written."""
-        while self._persists:
-            self._persists.pop().unpersist()
+        foreachBatch) call it themselves once the batch is written —
+        and dropping the report lets the GC finalizer do it."""
+        _release_persists(self._persists)
 
     @staticmethod
     def _available(obs: Observation) -> bool:
-        try:
-            return not obs._jo.getRowOrEmpty().isEmpty()
-        except Exception:
-            return False
+        """Non-blocking probe for whether the observe metrics have been
+        delivered. There is no public non-blocking API (``Observation.
+        get`` blocks forever when no action ran), so probe the JVM
+        object's Option accessors — two spellings for resilience across
+        Spark builds. If both are gone, report unavailable: the caller
+        then degrades to one extra count job, never a hang."""
+        jo = obs._jo
+        for probe in ("getRowOrEmpty", "getOrEmpty"):
+            try:
+                return not getattr(jo, probe)().isEmpty()
+            except Exception:
+                continue
+        return False
 
     def _ensure(self) -> None:
         if self._rows is not None:

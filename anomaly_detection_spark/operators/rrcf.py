@@ -105,6 +105,8 @@ class RCTree:
                 self.leaves[index] = node
                 return
             r = self.rng.uniform(0.0, total)
+            if r >= total:              # uniform() can return its bound
+                r = total * 0.999999999999
             acc = 0.0
             dim, cut = d_ - 1, 0.0
             for d in range(d_):
@@ -115,12 +117,16 @@ class RCTree:
                     dim, cut = d, lo + (r - acc)
                     break
                 acc += span
-            else:                       # float edge: last extended dim
+            else:
+                # unreachable with the clamp above (acc accumulates the
+                # exact same additions as total); defensive: a MID cut on
+                # a positive-span dim can never put the new point on the
+                # wrong side of the routing test, unlike a boundary cut
                 for d in range(d_ - 1, -1, -1):
                     lo = nbmin[d] if nbmin[d] < x[d] else x[d]
                     hi = nbmax[d] if nbmax[d] > x[d] else x[d]
                     if hi - lo > 0:
-                        dim, cut = d, hi
+                        dim, cut = d, lo + (hi - lo) / 2.0
                         break
             if cut < nbmin[dim] or cut >= nbmax[dim]:
                 # the cut separates x from the whole subtree: new parent

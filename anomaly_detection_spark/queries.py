@@ -837,42 +837,10 @@ FROM events
 # rows-only queries (no SQL oracle: approx/stateful/hash-specific)
 # ---------------------------------------------------------------------------
 
-def q_minhash_near_dup_documents(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.functions.dedup import minhash_lsh_pairs
-
-    d = _docs(spark, sf_dir)
-    planted = d.filter(F.col("doc_id") < 5).withColumn(
-        "doc_id", F.col("doc_id") + 100_000
-    )
-    return minhash_lsh_pairs(
-        d.unionByName(planted), "doc_id", "text", jaccard_threshold=0.5,
-        eager=True,
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-
-
 def q_simhash_signatures_documents(spark, sf_dir) -> DataFrame:
     from anomaly_detection_spark.functions.dedup import simhash_signatures
 
     return simhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
-
-
-def q_simhash_near_dup_documents(spark, sf_dir) -> DataFrame:
-    """SimHash Hamming<=3 pairs via the 4-block pigeonhole equi-join on a
-    clone-planted slice (exact clones -> Hamming 0; rows-only: the
-    signature uses pandas' hash, not SQL-expressible)."""
-    from anomaly_detection_spark.functions.dedup import simhash_near_dup_pairs
-
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
-    both = F.array(
-        F.struct(F.col("doc_id"), F.col("text")),
-        F.struct((F.col("doc_id") + 100_000).alias("doc_id"),
-                 F.col("text").alias("text")),
-    )
-    one = F.array(F.struct(F.col("doc_id"), F.col("text")))
-    corpus = d.select(
-        F.explode(F.when(F.col("doc_id") < 5, both).otherwise(one)).alias("r")
-    ).select("r.doc_id", "r.text")
-    return simhash_near_dup_pairs(corpus, "doc_id", "text", max_hamming=3)
 
 
 def q_filtering_check_events(spark, sf_dir) -> DataFrame:
@@ -908,37 +876,6 @@ def q_iforest_embeddings(spark, sf_dir) -> DataFrame:
         emb, "label", ["f1", "f2", "f_norm2"], contamination=0.02,
         extra_cols=["vec_id"], n_trees=50, subsample=128,
     ).select("vec_id", "label", F.round("score", 6).alias("score"), "code")
-
-
-def q_lsh_topk_embeddings(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.functions.similarity import lsh_topk
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return lsh_topk(emb, queries, k=5, n_planes=6, n_tables=4).select(
-        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
-    )
-
-
-def q_ivf_topk_embeddings(spark, sf_dir) -> DataFrame:
-    """IVF ANN (spherical-k-means coarse quantizer + cell-probe exact
-    re-rank); rows-only (seeded k-means is not SQL-expressible; recall
-    vs the exact oracle path is asserted in tests)."""
-    from anomaly_detection_spark.functions.similarity import ivf_topk
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivf_topk(emb, queries, k=5, n_cells=32, n_probe=8).select(
-        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
-    )
 
 
 def q_image_features_media(spark, sf_dir) -> DataFrame:
@@ -990,15 +927,14 @@ REGISTRY: dict[str, tuple] = {
     "psi_lang_documents": (q_psi_lang_documents, SQL_PSI_LANG),
     "partition_drift_events": (q_partition_drift_events, SQL_PARTITION_DRIFT),
     "shift_avg_time_features_events": (q_shift_avg_time_features_events, SQL_SHIFT_AVG_TIME),
-    # rows-only (non-SQL-expressible: approx, hash-specific, or stateful)
-    "minhash_near_dup_documents": (q_minhash_near_dup_documents, None),
+    # rows-only (non-SQL-expressible: approx, hash-specific, or stateful).
+    # The LSH/ANN family (minhash/simhash/lsh_topk/ivf_topk) and the full
+    # curation pipeline are registered in the round-3 section below with
+    # derived-invariant oracles.
     "simhash_signatures_documents": (q_simhash_signatures_documents, None),
     "filtering_check_events": (q_filtering_check_events, None),
     "repair_events": (q_repair_events, None),
     "iforest_embeddings": (q_iforest_embeddings, None),
-    "lsh_topk_embeddings": (q_lsh_topk_embeddings, None),
-    "ivf_topk_embeddings": (q_ivf_topk_embeddings, None),
-    "simhash_near_dup_documents": (q_simhash_near_dup_documents, None),
     "image_features_media": (q_image_features_media, None),
 }
 
@@ -1380,29 +1316,8 @@ FROM gated WHERE rn = 1
 """
 
 
-def q_curation_full_documents(spark, sf_dir) -> DataFrame:
-    """The complete curation pipeline incl. MinHash near-dedup (rows-only:
-    LSH candidate generation is not SQL-expressible)."""
-    from anomaly_detection_spark.functions.curation import (
-        CurationConfig, curate,
-    )
-
-    curated, _ = curate(
-        _docs(spark, sf_dir),
-        config=CurationConfig(
-            min_quality=0.3,
-            allowed_langs=("en", "de", "fr", "es", "zh"),
-            jaccard_threshold=0.8,
-        ),
-        with_report=False,  # the query returns rows; skip counting jobs
-    )
-    return curated.select("doc_id", F.round("quality", 6).alias("quality"),
-                          "n_tokens", "bpe_tokens")
-
-
 REGISTRY.update({
     "curation_gate_documents": (q_curation_gate_documents, SQL_CURATION_GATE),
-    "curation_full_documents": (q_curation_full_documents, None),
 })
 
 

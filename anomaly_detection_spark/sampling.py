@@ -3,16 +3,22 @@ scan.
 
 The round-2 shape (``n = df.count()`` then ``sample(target/n)``) paid a
 full column-pruned scan per model fit just to compute the sampling
-fraction. ``sample(fraction).limit(n)`` needs no count: the limit
-executes incrementally (Spark reads only as many partitions as it takes
-to fill ``n`` rows), so the big-data path is one PARTIAL scan. If the
-sampled stream under-fills — a small table, where fraction * n < target
-— fall back to ``limit(n)`` on the raw frame, a trivial scan at that
-scale that also preserves the round-2 behavior exactly (all rows, source
-order) for tables smaller than the target.
+fraction. A global ``sample(f).limit(n)`` avoids the count but is a
+PREFIX of the table's first partitions — a time-ordered table would
+train its models on the oldest slice only. Instead, every partition
+contributes up to ``ceil(n / num_partitions)`` rows: partition count is
+plan metadata (no job), the per-partition ``islice`` stops consuming its
+(lazy) iterator after k rows so each task is a bounded partial read, and
+coverage spans the WHOLE table at partition granularity. Rows are
+seeded-sampled within each partition's scanned prefix; if the sampled
+pass under-fills (small table or low fraction), a second pass takes the
+plain per-partition prefixes — still spread across all partitions, never
+a global head.
 """
 
 from __future__ import annotations
+
+from itertools import islice
 
 from pyspark.sql import DataFrame
 
@@ -20,10 +26,16 @@ from pyspark.sql import DataFrame
 def bounded_sample_rows(
     df: DataFrame, n: int, *, fraction: float = 0.1, seed: int = 0,
 ) -> list:
-    """Up to ``n`` driver-side Rows from ``df``: one incremental partial
-    scan at scale, deterministic (fixed seed + deterministic input
-    partitioning), never a count job."""
-    rows = df.sample(fraction=fraction, seed=seed).limit(n).collect()
+    """Up to ``n`` driver-side Rows from ``df``, spread over ALL
+    partitions: deterministic (fixed seed, deterministic partitioning),
+    bounded partial read per partition, never a count job."""
+    p = max(1, df.rdd.getNumPartitions())
+    k = -(-n // p)  # ceil
+    rows = (
+        df.sample(fraction=fraction, seed=seed)
+        .rdd.mapPartitions(lambda it: islice(it, k))
+        .collect()
+    )
     if len(rows) < n:
-        rows = df.limit(n).collect()
-    return rows
+        rows = df.rdd.mapPartitions(lambda it: islice(it, k)).collect()
+    return rows[:n]

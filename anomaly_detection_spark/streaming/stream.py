@@ -205,11 +205,14 @@ def streaming_curate(
     stage counters are observe metrics riding the output write, plus a
     second observe node for the quality moments and the order-
     insensitive lineage fingerprint), then commits an audit row keyed
-    ``batch_<id>``. Restart resumes from Spark's checkpoint; if a crash
-    makes Spark REDELIVER the last uncommitted micro-batch, the
-    ledger's pending() guard skips batches whose audit row already
-    committed — so output append + audit append are effectively
-    exactly-once per batch id. Returns the StreamingQuery."""
+    ``batch_<id>``. Exactly-once per batch id under crash/redeliver:
+    the output lands in its own ``batch_id=<id>`` partition directory
+    with mode=overwrite (a redelivered batch REPLACES its partial
+    files instead of appending duplicates — readers load ``output_dir``
+    and get ``batch_id`` as a partition column), and the audit append
+    is guarded by the ledger's pending() check, so a crash between the
+    two replays the (idempotent) write and then commits the audit row
+    once. Returns the StreamingQuery."""
     import time as _time
     import uuid as _uuid
 
@@ -235,7 +238,11 @@ def streaming_curate(
             (F.var_pop("quality") * F.count("quality")).alias("m2"),
             F.bit_xor(F.xxhash64("doc_id")).alias("fp"),
         )
-        to_write.write.mode("append").format(fmt).save(output_dir)
+        # overwrite the batch's OWN partition directory: redelivery after
+        # a crash between output write and audit commit replaces partial
+        # files instead of appending duplicates
+        to_write.write.mode("overwrite").format(fmt) \
+            .save(f"{output_dir}/batch_id={batch_id}")
         stages = {r[0]: r for r in report.rows()}   # counters rode the write
         report.release()
         n_gate_drop = stages["quality_lang_gate"][3] + stages["exact_dedup"][3]

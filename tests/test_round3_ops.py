@@ -149,9 +149,11 @@ class TestRRCFStream:
             pts = pl + pr
             assert np.allclose(node.bmin, np.min(pts, axis=0))
             assert np.allclose(node.bmax, np.max(pts, axis=0))
-            # the stored cut actually separates the children
-            assert (node.left.bmax[node.dim] <= node.cut
-                    < node.right.bmin[node.dim] + 1e-12 or True)
+            # the stored cut actually separates the children per the
+            # routing rule (x <= cut -> left): every left point is <= cut
+            # and every right point is strictly > cut
+            assert node.left.bmax[node.dim] <= node.cut
+            assert node.right.bmin[node.dim] > node.cut
             return node.n, pts
 
         if tree.root is not None:
@@ -186,15 +188,16 @@ class TestRRCFStream:
         assert all(np.isfinite(v) for v in out1)    # duplicate handling
         for tree in s1.trees:
             self._check_tree(tree)
-        s2 = RRCFStream(3, 16, seed=9)
+            assert tree.root.dim < 0                # all-dup stream: one leaf
+            assert tree.root.count == 16            # window-bounded count
+
         rng = np.random.default_rng(0)
         X = rng.normal(size=(100, 3))
-        a = [RRCFStream(4, 32, seed=5).insert_score(x) for x in X]
-        b = [RRCFStream(4, 32, seed=5).insert_score(x) for x in X]
-        # per-call streams differ; full-stream determinism:
         sa, sb = RRCFStream(4, 32, seed=5), RRCFStream(4, 32, seed=5)
-        assert [sa.insert_score(x) for x in X] == \
-               [sb.insert_score(x) for x in X]
+        ra = [sa.insert_score(x) for x in X]
+        rb = [sb.insert_score(x) for x in X]
+        assert ra == rb                             # full-stream determinism
+        assert max(ra[5:]) > 0.0                    # scores carry signal
 
     def test_forget_undoes_insert(self):
         import numpy as np

@@ -22,17 +22,32 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def task_time_stats(spark, min_task_ms: float = 50.0) -> dict:
-    """p50/p95/max executor run time of the heaviest completed stage
-    (by max task time), via the status REST API."""
+def _completed_stages(spark) -> list:
     base = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[1]}"
     apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
     app_id = apps[0]["id"]
-    stages = json.load(urllib.request.urlopen(
+    return json.load(urllib.request.urlopen(
         f"{base}/api/v1/applications/{app_id}/stages"
         f"?status=complete&withSummaries=true&quantiles=0.5,0.95,1.0"))
+
+
+def max_stage_id(spark) -> int:
+    """Marker so task_time_stats only considers stages submitted AFTER
+    this point — the REST stage history is append-only per app, and the
+    heaviest stage of a whole session can belong to an earlier workload
+    (e.g. the data-gen write)."""
+    stages = _completed_stages(spark)
+    return max((s["stageId"] for s in stages), default=-1)
+
+
+def task_time_stats(spark, since_stage: int = -1,
+                    min_task_ms: float = 50.0) -> dict:
+    """p50/p95/max executor run time of the heaviest completed stage
+    with stageId > since_stage, via the status REST API."""
     best = None
-    for s in stages:
+    for s in _completed_stages(spark):
+        if s["stageId"] <= since_stage:
+            continue
         d = s.get("taskMetricsDistributions")
         if not d:
             continue
@@ -47,12 +62,6 @@ def task_time_stats(spark, min_task_ms: float = 50.0) -> dict:
                 "max_over_p50": round(rt[2] / max(rt[0], 1e-9), 2),
             }
     return best or {}
-
-
-def clear_stage_history(spark):
-    # REST history is append-only per app; track stages seen so far by
-    # remembering the max stage id instead of clearing
-    pass
 
 
 def main() -> int:
@@ -99,14 +108,15 @@ def main() -> int:
     med = counts.approxQuantile("count", [0.5], 0.0)[0]
     results["retrain_imbalance_hot_over_median"] = round(top / med, 1)
 
+    mark = max_stage_id(spark)
     t0 = time.time()
-    n = clustering_retrain_check(
+    clustering_retrain_check(
         ev, "series", "ts", ["f1", "f2"],
         eps=8.0, min_samples=4, treshold=20.0,
         retrain_interval=2000, samples_for_retrain=4000,
     ).write.format("noop").mode("overwrite").save()
     results["retrain_wall_s"] = round(time.time() - t0, 2)
-    results["retrain_tasks"] = task_time_stats(spark)
+    results["retrain_tasks"] = task_time_stats(spark, mark)
     spark.stop()
 
     # ---- 2. viral-boilerplate minhash + curation ---------------------
@@ -143,13 +153,14 @@ def main() -> int:
     docs.write.mode("overwrite").parquet("/tmp/skew_docs")
     docs = spark.read.parquet("/tmp/skew_docs")
 
+    mark = max_stage_id(spark)
     t0 = time.time()
     pairs = minhash_lsh_pairs(docs, "doc_id", "text",
                               jaccard_threshold=0.7, eager=True)
     n_pairs = pairs.count()
     results["minhash_wall_s"] = round(time.time() - t0, 2)
     results["minhash_pairs"] = n_pairs
-    results["minhash_tasks"] = task_time_stats(spark)
+    results["minhash_tasks"] = task_time_stats(spark, mark)
     # the viral bucket (6k docs per variant) exceeds max_bucket=64 and is
     # dropped: without the cap it alone would emit ~7 * C(6000,2) ~ 1.3e8
     # candidate pairs
@@ -159,6 +170,7 @@ def main() -> int:
         CurationConfig, curate,
     )
 
+    mark = max_stage_id(spark)
     t0 = time.time()
     curated, report = curate(
         docs.withColumn("lang", F.lit("en")),
@@ -169,7 +181,7 @@ def main() -> int:
     stages = {r[0]: (r[1], r[2]) for r in report.rows()}
     results["curation_wall_s"] = round(time.time() - t0, 2)
     results["curation_stages"] = stages
-    results["curation_tasks"] = task_time_stats(spark)
+    results["curation_tasks"] = task_time_stats(spark, mark)
     spark.stop()
 
     print(json.dumps(results))
