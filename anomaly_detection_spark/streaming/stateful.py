@@ -186,6 +186,63 @@ def streaming_clustering_retrain(stream_df, features: Sequence[str], *,
     )
 
 
+def rrcf_state_fn(features: Sequence[str], *, num_trees: int,
+                  tree_size: int, threshold: float, seed: int = 0):
+    """Streaming RRCF across micro-batches — the reference's actual
+    execution model (rrcf_trees.py:98-117 runs on an unbounded Kafka
+    stream): state = the pickled forest (the trees ARE the model; the
+    sliding window, duplicate counts and the insertion index all live
+    inside it). Each micro-batch folds its rows through
+    ``RRCFStream.insert_score`` in event order; a restarted query
+    resumes from Spark's state checkpoint with the identical forest, so
+    stream == batch element-exact (equivalence-tested)."""
+    import pickle
+
+    from anomaly_detection_spark.operators.rrcf import RRCFStream
+
+    feats = list(features)
+
+    def fn(key: Tuple[Any, ...], batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            stream = pickle.loads(bytes(state.get[0]))
+        else:
+            stream = RRCFStream(num_trees, tree_size, seed)
+        for pdf in batches:
+            pdf = pdf.sort_values("order").reset_index(drop=True)
+            rows = pdf[feats].to_numpy(dtype=np.float64).tolist()
+            scores = np.fromiter((stream.insert_score(r) for r in rows),
+                                 dtype=np.float64, count=len(rows))
+            out = pdf[["key", "order"]].copy()
+            out["codisp"] = scores
+            out["code"] = np.where(scores > threshold, -1, 1) \
+                .astype(np.int32)
+            yield out
+        state.update(
+            (bytearray(pickle.dumps(stream, pickle.HIGHEST_PROTOCOL)),))
+
+    return fn
+
+
+RRCF_OUTPUT_SCHEMA = "key string, order double, codisp double, code int"
+RRCF_STATE_SCHEMA = "forest binary"
+
+
+def streaming_rrcf_check(stream_df, features: Sequence[str], *,
+                         num_trees: int = 10, tree_size: int = 128,
+                         threshold: float = 10.0, seed: int = 0):
+    """stream_df columns: (key string, order double, <features...>
+    double). Returns the stateful per-row (codisp, code) stream."""
+    return stream_df.groupBy("key").applyInPandasWithState(
+        rrcf_state_fn(list(features), num_trees=num_trees,
+                      tree_size=tree_size, threshold=threshold, seed=seed),
+        outputStructType=RRCF_OUTPUT_SCHEMA,
+        stateStructType=RRCF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def welford_state_fn(X: float, warning_stages: Sequence[float] = ()):
     """Streaming Welford check across micro-batches: state = the engine's
     mergeable (count, mean, M2) moments (sketches.welford_merge powers

@@ -247,6 +247,55 @@ class TestRRCFStream:
         assert spike["code"] == -1
 
 
+def test_streaming_rrcf_equals_batch(spark, tmp_path):
+    """The stateful streaming RRCF must produce exactly the batch
+    operator's scores when the same series arrives split across
+    micro-batches — the pickled forest carries the sliding window and
+    every tree's structure across the batch boundary."""
+    import numpy as np
+
+    from anomaly_detection_spark.operators.rrcf import rrcf_stream_check
+    from anomaly_detection_spark.streaming.stateful import (
+        streaming_rrcf_check,
+    )
+    from anomaly_detection_spark.streaming.stream import run_to_memory
+
+    rng = np.random.default_rng(21)
+    rows = [("k", float(i), float(rng.normal()), float(rng.normal()))
+            for i in range(90)]
+    rows[70] = ("k", 70.0, 30.0, -30.0)             # post-boundary spike
+    schema = "key string, order double, f1 double, f2 double"
+    kw = dict(num_trees=5, tree_size=24, threshold=6.0, seed=4)
+
+    batch = rrcf_stream_check(
+        spark.createDataFrame(rows, schema), "key", "order", ["f1", "f2"],
+        **kw,
+    ).orderBy("order").collect()
+
+    src = str(tmp_path / "rrcf_in")
+    spark.createDataFrame(rows[:50], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_to_memory(streaming_rrcf_check(stream, ["f1", "f2"], **kw),
+                      "rrcf_stream")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[50:], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["order"]: r for r in
+               spark.sql("SELECT * FROM rrcf_stream").collect()}
+    finally:
+        q.stop()
+
+    assert len(got) == len(batch)
+    for b in batch:
+        s = got[b["order"]]
+        assert abs(s["codisp"] - b["codisp"]) < 1e-9, b["order"]
+        assert s["code"] == b["code"]
+    assert got[70.0]["code"] == -1                  # spike flagged
+
+
 def test_streaming_curate_commits_and_resumes(spark, docs, tmp_path):
     """foreachBatch curation end-to-end: audit rows commit across >= 2
     micro-batches; a stopped stream restarted on the same checkpoint
