@@ -214,6 +214,35 @@ def _per_series(pdf: pd.DataFrame, keys_l, fn_series):
     return pd.concat(outs, ignore_index=True)
 
 
+def _last_n_repair_series(v: np.ndarray, *, N: int, mid: float,
+                          half: float) -> tuple[np.ndarray, np.ndarray]:
+    """LastNAverage repair WITH feedback on one series -> (vn, repaired).
+    Errors are data-dependent and rare, so the scan is vectorized and
+    re-touches only flagged rows (O(#errors * N) scalar work)."""
+    repaired = v.copy()
+    vn = (v - mid) / half
+    for i in np.flatnonzero(np.abs(vn) > 1.0):
+        lo = max(0, i - N)
+        if i > 0:
+            repaired[i] = repaired[lo:i].mean()
+    return vn, repaired
+
+
+def _periodic_repair_series(v: np.ndarray, *, N: int, period: int,
+                            mid: float, half: float
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """PeriodicLastNAverage repair on one series -> (vn, repaired):
+    erroneous values take the mean of the last N repaired values spaced
+    ``period`` apart; repaired values feed subsequent windows."""
+    repaired = v.copy()
+    vn = (v - mid) / half
+    for i in np.flatnonzero(np.abs(vn) > 1.0):
+        idx = [i - period * j for j in range(1, N + 1) if i - period * j >= 0]
+        if idx:
+            repaired[i] = repaired[idx].mean()
+    return vn, repaired
+
+
 def last_n_average_repair(
     df: DataFrame, keys, order: str, value: str, *,
     N: int, LL: float, UL: float, warning_stages: Sequence[float] = (),
@@ -223,27 +252,18 @@ def last_n_average_repair(
     (/root/reference/src/normalization.py:24-55 and
     anomaly_detection.py:454-472): an erroneous value is replaced by the
     mean of the last N (repaired) values, and the repaired value is what
-    enters subsequent windows. The feedback makes this a true sequential
-    scan; errors are data-dependent and rare, so we run vectorized and
-    re-touch only flagged rows (O(#errors * N) scalar work, not O(rows))."""
+    enters subsequent windows (true sequential scan)."""
     keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
     cols = list(keys_l) + [order] + list(extra_cols)
     mid, half = (UL + LL) / 2.0, (UL - LL) / 2.0
 
     def one(g: pd.DataFrame) -> pd.DataFrame:
         v = g[value].to_numpy().astype(np.float64)
-        repaired = v.copy()
-        vn = (v - mid) / half
-        err = np.abs(vn) > 1.0
-        for i in np.flatnonzero(err):  # touches error rows only
-            lo = max(0, i - N)
-            if i > 0:
-                repaired[i] = repaired[lo:i].mean()
-        vn_r = (repaired - mid) / half
+        vn, repaired = _last_n_repair_series(v, N=N, mid=mid, half=half)
         out = g[cols].copy()
         out["code"] = _ladder_codes_np(vn, warning_stages)
         out["suggested_value"] = repaired
-        out["vn_repaired"] = vn_r
+        out["vn_repaired"] = (repaired - mid) / half
         return out
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -261,22 +281,15 @@ def periodic_last_n_average_repair(
     warning_stages: Sequence[float] = (), extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Border check + PeriodicLastNAverage repair
-    (/root/reference/src/normalization.py:58-93): an erroneous value is
-    replaced by the mean of the last N (repaired) values spaced `period`
-    apart; repaired values feed subsequent windows."""
+    (/root/reference/src/normalization.py:58-93)."""
     keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
     cols = list(keys_l) + [order] + list(extra_cols)
     mid, half = (UL + LL) / 2.0, (UL - LL) / 2.0
 
     def one(g: pd.DataFrame) -> pd.DataFrame:
         v = g[value].to_numpy().astype(np.float64)
-        repaired = v.copy()
-        vn = (v - mid) / half
-        err = np.abs(vn) > 1.0
-        for i in np.flatnonzero(err):
-            idx = [i - period * j for j in range(1, N + 1) if i - period * j >= 0]
-            if idx:
-                repaired[i] = repaired[idx].mean()
+        vn, repaired = _periodic_repair_series(v, N=N, period=period,
+                                               mid=mid, half=half)
         out = g[cols].copy()
         out["code"] = _ladder_codes_np(vn, warning_stages)
         out["suggested_value"] = repaired
@@ -287,6 +300,44 @@ def periodic_last_n_average_repair(
 
     return _grouped(df.select(*cols, value), keys_l, order, fn,
                     _out_schema(df, cols, "code int, suggested_value double"))
+
+
+def repair_suite(
+    df: DataFrame, keys, order: str, value: str, *,
+    last_n: int, periodic_n: int, period: int, LL: float, UL: float,
+    warning_stages: Sequence[float] = (), extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """BOTH repair variants in ONE per-series Arrow pass (shared scan,
+    shared shuffle, shared ladder codes — the verdicts depend only on
+    the raw values, so the two repairs differ purely in their suggested
+    values). Output: code_last_n == code_periodic == the border ladder,
+    plus each variant's suggestion; one applyInPandas stage instead of
+    two stages joined on the row key."""
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    cols = list(keys_l) + [order] + list(extra_cols)
+    mid, half = (UL + LL) / 2.0, (UL - LL) / 2.0
+
+    def one(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value].to_numpy().astype(np.float64)
+        vn, rep_l = _last_n_repair_series(v, N=last_n, mid=mid, half=half)
+        _, rep_p = _periodic_repair_series(v, N=periodic_n, period=period,
+                                           mid=mid, half=half)
+        out = g[cols].copy()
+        codes = _ladder_codes_np(vn, warning_stages)
+        out["code_last_n"] = codes
+        out["suggested_last_n"] = rep_l
+        out["code_periodic"] = codes
+        out["suggested_periodic"] = rep_p
+        return out
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _per_series(pdf, keys_l, one)
+
+    return _grouped(
+        df.select(*cols, value), keys_l, order, fn,
+        _out_schema(df, cols,
+                    "code_last_n int, suggested_last_n double, "
+                    "code_periodic int, suggested_periodic double"))
 
 
 # ---------------------------------------------------------------------------

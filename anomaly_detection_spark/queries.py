@@ -2083,13 +2083,22 @@ FROM a JOIN b ON a.event_id = b.event_id
 
 
 def q_repair_suite_events(spark, sf_dir) -> DataFrame:
-    a = q_repair_events(spark, sf_dir).select(
-        "event_id", F.col("code").alias("code_last_n"),
-        F.col("suggested_value").alias("suggested_last_n"))
-    b = q_periodic_repair_events(spark, sf_dir).select(
-        "event_id", F.col("code").alias("code_periodic"),
-        F.col("suggested_value").alias("suggested_periodic"))
-    return a.join(b, "event_id")
+    """Both repair recurrences in ONE per-series Arrow pass (the
+    operator shares the scan, shuffle and ladder codes) instead of two
+    applyInPandas stages joined on the row key."""
+    from anomaly_detection_spark.operators.sequential import repair_suite
+
+    out = repair_suite(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        last_n=5, periodic_n=3, period=2, LL=5.0, UL=350.0,
+        extra_cols=("event_id",),
+    )
+    return out.select(
+        "event_id", "code_last_n",
+        F.round("suggested_last_n", 6).alias("suggested_last_n"),
+        "code_periodic",
+        F.round("suggested_periodic", 6).alias("suggested_periodic"),
+    )
 
 
 SQL_REPAIR_SUITE = f"""
