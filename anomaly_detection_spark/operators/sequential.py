@@ -204,6 +204,94 @@ def ema_percentile_check(
                     _out_schema(df, cols, "ema double, code int"))
 
 
+def ema_suite_check(
+    df: DataFrame, keys, order: str, value: str, *,
+    N: int, LL: float, UL: float, warning_stages: Sequence[float] = (),
+    percentile: float = 95.0, window: int = 20,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """EMA border check + EMA-percentile band in ONE Arrow pass: the two
+    detectors share the identical EMA recurrence, so computing it once
+    and deriving both verdicts halves the scan/shuffle/ewm work of
+    running the operators separately and joining."""
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    s = 2.0 / (N + 1)
+    p = percentile / 100.0
+    cols = list(keys_l) + [order] + list(extra_cols)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(list(keys_l), sort=False)[value]
+        ema = g.ewm(alpha=s, adjust=False).mean().reset_index(drop=True)
+        e = ema.to_numpy()
+        vn = 2.0 * (e - (UL + LL) / 2.0) / (UL - LL)
+        ge = ema.groupby(pdf[keys_l[0]].to_numpy() if len(keys_l) == 1
+                         else pdf[list(keys_l)].apply(tuple, axis=1).to_numpy())
+        hi = ge.rolling(window).quantile(p, interpolation="linear").to_numpy()
+        lo = ge.rolling(window).quantile(1.0 - p,
+                                         interpolation="linear").to_numpy()
+        code_pctl = np.where(
+            np.isnan(hi), 2,
+            np.where((e > hi + 1e-9) | (e < lo - 1e-9), -1, 1)
+        ).astype(np.int32)
+        out = pdf[cols].copy()
+        out["ema"] = e
+        out["code_ema"] = _ladder_codes_np(vn, warning_stages)
+        out["code_pctl"] = code_pctl
+        return out
+
+    return _grouped(df.select(*cols, value), keys_l, order, fn,
+                    _out_schema(df, cols,
+                                "ema double, code_ema int, code_pctl int"))
+
+
+def macd_cusum_check(
+    df: DataFrame, keys, order: str, value: str, *,
+    period1: int, period2: int, macd_LL: float, macd_UL: float,
+    macd_stages: Sequence[float] = (), averaging: int = 5,
+    decay: float = 0.01, cusum_stages: Sequence[float] = (),
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """MACD + decayed-cusum drift checks in ONE Arrow pass over the same
+    bucketed series (shared scan/shuffle/groupby; the kernels are
+    independent Cython passes over the same group object)."""
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    a1, a2 = 2.0 / (period1 + 1), 2.0 / (period2 + 1)
+    q = 1.0 - decay
+    cols = list(keys_l) + [order] + list(extra_cols)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(list(keys_l), sort=False)
+        gv = g[value]
+        e1 = gv.ewm(alpha=a1, adjust=False).mean().to_numpy()
+        e2 = gv.ewm(alpha=a2, adjust=False).mean().to_numpy()
+        macd = e1 - e2
+        vn = 2.0 * (macd - (macd_UL + macd_LL) / 2.0) / (macd_UL - macd_LL)
+        rm = gv.rolling(averaging, min_periods=1).mean().to_numpy()
+        prev = gv.transform(lambda sr: sr.rolling(
+            averaging, min_periods=1).mean().shift(1, fill_value=0.0)
+        ).to_numpy()
+        delta = (rm - prev) / np.abs(rm)
+        t = g.cumcount().to_numpy().astype(np.float64)
+        scaled = delta * np.power(q, -t)
+        cs = pd.Series(scaled).groupby(
+            pdf[list(keys_l)].apply(tuple, axis=1).to_numpy()
+        ).cumsum().to_numpy() if len(keys_l) > 1 else pd.Series(
+            scaled
+        ).groupby(pdf[keys_l[0]].to_numpy()).cumsum().to_numpy()
+        c = np.power(q, t + 1.0) * cs
+        out = pdf[cols].copy()
+        out["macd"] = macd
+        out["code_macd"] = _ladder_codes_np(vn, macd_stages)
+        out["cusum"] = c
+        out["code_cusum"] = _ladder_codes_np(c, cusum_stages)
+        return out
+
+    return _grouped(df.select(*cols, value), keys_l, order, fn,
+                    _out_schema(df, cols,
+                                "macd double, code_macd int, "
+                                "cusum double, code_cusum int"))
+
+
 def _per_series(pdf: pd.DataFrame, keys_l, fn_series):
     """Iterate series inside a bucket (for genuinely scalar recurrences:
     IIR state, repair feedback). Work per series is numpy; the python loop

@@ -2053,11 +2053,17 @@ FROM a JOIN b ON a.event_id = b.event_id
 
 
 def q_ema_suite_events(spark, sf_dir) -> DataFrame:
-    a = q_ema_check_events(spark, sf_dir) \
-        .withColumnRenamed("code", "code_ema")
-    b = q_ema_percentile_events(spark, sf_dir) \
-        .select("event_id", F.col("code").alias("code_pctl"))
-    return a.join(b, "event_id")
+    """EMA border + EMA-percentile verdicts from ONE Arrow pass (the
+    detectors share the identical EMA recurrence)."""
+    from anomaly_detection_spark.operators.sequential import ema_suite_check
+
+    out = ema_suite_check(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        N=9, LL=0.0, UL=400.0, warning_stages=(0.9,),
+        percentile=95.0, window=20, extra_cols=("event_id",),
+    )
+    return out.select("event_id", F.round("ema", 6).alias("ema"),
+                      "code_ema", "code_pctl")
 
 
 SQL_EMA_SUITE = f"""
@@ -2068,11 +2074,19 @@ FROM a JOIN b ON a.event_id = b.event_id
 
 
 def q_macd_cusum_events(spark, sf_dir) -> DataFrame:
-    a = q_macd_check_events(spark, sf_dir) \
-        .withColumnRenamed("code", "code_macd")
-    b = q_cumulative_check_events(spark, sf_dir) \
-        .withColumnRenamed("code", "code_cusum")
-    return a.join(b, "event_id")
+    """MACD + decayed-cusum verdicts from ONE Arrow pass over the same
+    bucketed series."""
+    from anomaly_detection_spark.operators.sequential import macd_cusum_check
+
+    out = macd_cusum_check(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        period1=5, period2=20, macd_LL=-50.0, macd_UL=50.0,
+        macd_stages=(0.5,), averaging=5, decay=0.01, cusum_stages=(0.5,),
+        extra_cols=("event_id",),
+    )
+    return out.select("event_id", F.round("macd", 6).alias("macd"),
+                      "code_macd", F.round("cusum", 6).alias("cusum"),
+                      "code_cusum")
 
 
 SQL_MACD_CUSUM = f"""
