@@ -56,6 +56,13 @@ HEADLINE = [
     "iforest_retrain_events",          # rolling-retrain forests per epoch
     "curation_gate_documents",         # fused quality gate + exact dedup
     "ks_exact_events",                 # exact KS via range-partitioned prefix sums
+    # round 3 additions
+    "clustering_retrain_events",       # epoch-parallel DBSCAN retrain
+    "rrcf_stream_events",              # streaming RRCF insert/forget/CoDisp
+    "curation_full_documents",         # full pipeline + invariant counts
+    "embedding_near_dup",              # sign-GEMM bucket near-dup + verify
+    "ivf_topk_embeddings",             # IVF ANN + recall invariant
+    "dedup_components_documents",      # transitive pair-graph resolution
 ]
 
 

@@ -220,6 +220,45 @@ class TestRRCFStream:
         assert shape(t.root) == before              # exact restore
         self._check_tree(t)
 
+    def test_arbitrary_insert_forget_interleavings(self):
+        """Property test: RCTree structural invariants hold under ANY
+        interleaving of inserts and arbitrary-index forgets (the stream
+        operator only forgets oldest, but the tree API supports any
+        order — e.g. out-of-order late-data policies)."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from anomaly_detection_spark.operators.rrcf import RCTree
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.lists(
+            st.tuples(st.booleans(), st.integers(0, 30),
+                      st.integers(-3, 3), st.integers(-3, 3)),
+            min_size=1, max_size=80))
+        def run(ops):
+            t = RCTree(seed=13)
+            live = set()
+            for is_insert, idx, a, b in ops:
+                if is_insert and idx not in live:
+                    # small integer grid forces frequent DUPLICATE points
+                    t.insert(np.array([float(a), float(b)]), idx)
+                    live.add(idx)
+                elif not is_insert and live:
+                    victim = sorted(live)[idx % len(live)]
+                    t.forget(victim)
+                    live.discard(victim)
+            assert set(t.leaves) == live
+            if t.root is not None:
+                assert t.root.n == len(live)
+            else:
+                assert not live
+            TestRRCFStream._check_tree(t)
+            for i in live:
+                assert np.isfinite(t.codisp(i)) and t.codisp(i) >= 0.0
+
+        run()
+
     def test_rrcf_stream_check_operator(self, spark):
         import numpy as np
 
