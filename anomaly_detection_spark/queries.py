@@ -1730,7 +1730,10 @@ u AS (
   FROM rep)
 SELECT s.event_id,
        CAST(CASE WHEN s.err = 1.0 THEN -1 ELSE 1 END AS INT) AS code,
-       round(u.sv, 6) AS suggested_value
+       -- Spark's Arrow path surfaces a NaN suggestion as NULL (pandas
+       -- NaN -> null on the UDF return), so mirror that convention
+       CASE WHEN isnan(u.sv) THEN NULL ELSE round(u.sv, 6) END
+         AS suggested_value
 FROM s JOIN u ON s.user_id = u.user_id AND s.rn = u.rn
 """
 
@@ -1767,7 +1770,9 @@ u AS (
   FROM rep)
 SELECT s.event_id,
        CAST(CASE WHEN s.err = 1.0 THEN -1 ELSE 1 END AS INT) AS code,
-       round(u.sv, 6) AS suggested_value
+       -- NaN suggestion -> NULL, matching Spark's Arrow return path
+       CASE WHEN isnan(u.sv) THEN NULL ELSE round(u.sv, 6) END
+         AS suggested_value
 FROM s JOIN u ON s.user_id = u.user_id AND s.rn = u.rn
 """
 

@@ -128,6 +128,70 @@ def test_bounded_sample_rows(spark, docs):
     assert len(small) == sel.filter(F.col("doc_id") < 20).count()
 
 
+def test_nan_null_defensive_oracles(spark, tmp_path):
+    """ADVICE round 2: a future testdata generator adding NaN values or
+    null timestamps would flip the repair/KS oracles red because DuckDB
+    orders NaN above everything (flag -1) while numpy comparisons are
+    False (code 1). The oracles are now data-defensive — prove it by
+    running Spark and DuckDB on an events table WITH planted bad rows."""
+    import duckdb
+
+    from anomaly_detection_spark.queries import REGISTRY
+    from tools.check_oracles import canon
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # plant NaN IN PLACE (every 97th event) so bad rows sit mid-series
+    # without perturbing the window order, plus appended null-ts rows
+    # with unique ids (their order is irrelevant — both engines drop
+    # them where it matters)
+    nan_hit = F.pmod(F.col("event_id"), F.lit(97)) == 0
+    dirty = e.withColumn(
+        "value", F.when(nan_hit, float("nan")).otherwise(F.col("value"))
+    ).unionByName(
+        e.limit(3).select(
+            (F.col("event_id") + 2_000_000).alias("event_id"),
+            *[c for c in e.columns if c not in ("event_id", "ts")],
+            F.lit(None).cast(dict(e.dtypes)["ts"]).alias("ts"),
+        ).select(*e.columns)
+    )
+    sf_dir = str(tmp_path / "dirty")
+    dirty.write.parquet(sf_dir + "/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet/*.parquet'")
+
+    # ks_exact drops null-ts rows on BOTH sides; NaN values participate
+    # identically (exact distinct-value aggregation)
+    name = "ks_exact_events"
+    sdf = REGISTRY[name][0](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = con.execute(REGISTRY[name][1])
+    assert canon(srows, sdf.columns) == \
+        canon(cur.fetchall(), [d[0] for d in cur.description]), name
+
+    # repair flags: NaN rows must code 1 (not -1 — DuckDB sorts NaN
+    # above everything, numpy comparisons are False) and a NaN-poisoned
+    # suggestion surfaces as NULL on both engines (Spark's Arrow return
+    # converts NaN to null; the oracle mirrors it). Null-ts rows are
+    # excluded here: window order over null ts differs across engines
+    # (NULLS FIRST vs LAST), an ordering artifact, not NaN safety.
+    name = "repair_suite_events"
+    sf2 = str(tmp_path / "dirty2")
+    dirty.filter(F.col("ts").isNotNull()).write \
+        .parquet(sf2 + "/events.parquet")
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM "
+                 f"'{sf2}/events.parquet/*.parquet'")
+    sdf = REGISTRY[name][0](spark, sf2)
+    srows = [tuple(r) for r in sdf.collect()]
+    nan_rows = [r for r in srows if r[0] % 97 == 0]
+    assert nan_rows and all(r[1] == 1 and r[3] == 1 for r in nan_rows)
+    cur = con2.execute(REGISTRY[name][1])
+    assert canon(srows, sdf.columns) == \
+        canon(cur.fetchall(), [d[0] for d in cur.description]), name
+
+
 class TestRRCFStream:
     """Structural + behavioral invariants for the streaming RRCF
     (insert/forget/CoDisp hand-rolled from Guha et al. 2016)."""
