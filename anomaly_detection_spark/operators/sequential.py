@@ -123,6 +123,44 @@ def macd_check(
                     _out_schema(df, cols, "macd double, code int"))
 
 
+def _series_ids(pdf: pd.DataFrame, keys_l) -> np.ndarray:
+    return (pdf[keys_l[0]].to_numpy() if len(keys_l) == 1
+            else pdf[list(keys_l)].apply(tuple, axis=1).to_numpy())
+
+
+def _rolling_delta(pdf: pd.DataFrame, keys_l, value: str,
+                   averaging: int) -> np.ndarray:
+    """delta_t = (rm_t - rm_{t-1}) / |rm_t| with rm the trailing
+    ``averaging``-mean (expanding during warm-up, rm_{-1} = 0)."""
+    g = pdf.groupby(list(keys_l), sort=False)
+    rm = g[value].rolling(averaging, min_periods=1).mean().to_numpy()
+    prev = g[value].transform(lambda s: s.rolling(
+        averaging, min_periods=1).mean().shift(1, fill_value=0.0)
+    ).to_numpy()
+    return (rm - prev) / np.abs(rm)
+
+
+def _decayed_cusum(delta: np.ndarray, series: np.ndarray,
+                   decay: float) -> np.ndarray:
+    """c_t = (c_{t-1} + delta_t) * (1 - decay) per contiguous series run,
+    c_{-1} = 0, as a SEEDED ewm recurrence: with x_t = delta_t*(q/decay)
+    and a zero seed prepended, y_t = q*y_{t-1} + decay*x_t = q*(y_{t-1}
+    + delta_t). Numerically stable for ANY series length — the earlier
+    q^(t+1) * cumsum(delta * q^-t) closed form overflowed q^-t to inf
+    past ~70k rows (decay 0.01), flipping long-series codes while the
+    sequential SQL oracle stayed finite."""
+    q = 1.0 - decay
+    out = np.empty(len(delta))
+    starts = np.flatnonzero(
+        np.concatenate(([True], series[1:] != series[:-1])))
+    bounds = np.append(starts, len(delta))
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        x = np.concatenate(([0.0], delta[s0:s1] * (q / decay)))
+        out[s0:s1] = pd.Series(x).ewm(alpha=decay, adjust=False) \
+            .mean().to_numpy()[1:]
+    return out
+
+
 def cumulative_check(
     df: DataFrame, keys, order: str, value: str, *,
     averaging: int, decay: float, warning_stages: Sequence[float] = (),
@@ -133,32 +171,13 @@ def cumulative_check(
     rm_t = mean(last `averaging` values, expanding during warm-up);
     delta_t = (rm_t - rm_{t-1}) / |rm_t|  (rm_{-1} = 0);
     c_t = (c_{t-1} + delta_t) * (1 - decay); border-check c_t against the
-    fixed [-1, 1] band with the warning ladder.
-
-    Closed form used for vectorization: c_t = sum_i delta_i*(1-d)^(t-i+1),
-    computed per series as (1-d)^(t+1) * cumsum(delta_i * (1-d)^(-i)) with
-    t = the row's within-series index — all groupby Cython kernels.
-    """
+    fixed [-1, 1] band with the warning ladder."""
     keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
     cols = list(keys_l) + [order] + list(extra_cols)
-    q = 1.0 - decay
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = pdf.groupby(list(keys_l), sort=False)
-        rm = g[value].rolling(averaging, min_periods=1).mean().to_numpy()
-        prev = g[value].transform(lambda s: s.rolling(
-            averaging, min_periods=1).mean().shift(1, fill_value=0.0)
-        ).to_numpy()
-        delta = (rm - prev) / np.abs(rm)
-        t = g.cumcount().to_numpy().astype(np.float64)
-        # per-series cumsum of delta * q^-t, then scale by q^(t+1)
-        scaled = delta * np.power(q, -t)
-        cs = pd.Series(scaled).groupby(
-            pdf[list(keys_l)].apply(tuple, axis=1).to_numpy()
-        ).cumsum().to_numpy() if len(keys_l) > 1 else pd.Series(
-            scaled
-        ).groupby(pdf[keys_l[0]].to_numpy()).cumsum().to_numpy()
-        c = np.power(q, t + 1.0) * cs
+        delta = _rolling_delta(pdf, keys_l, value, averaging)
+        c = _decayed_cusum(delta, _series_ids(pdf, keys_l), decay)
         out = pdf[cols].copy()
         out["cusum"] = c
         out["code"] = _ladder_codes_np(c, warning_stages)
@@ -183,18 +202,7 @@ def ema_percentile_check(
     cols = list(keys_l) + [order] + list(extra_cols)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = pdf.groupby(list(keys_l), sort=False)[value]
-        ema = g.ewm(alpha=s, adjust=False).mean().reset_index(drop=True)
-        ge = ema.groupby(pdf[keys_l[0]].to_numpy() if len(keys_l) == 1
-                         else pdf[list(keys_l)].apply(tuple, axis=1).to_numpy())
-        hi = ge.rolling(window).quantile(p, interpolation="linear").to_numpy()
-        lo = ge.rolling(window).quantile(1.0 - p,
-                                         interpolation="linear").to_numpy()
-        e = ema.to_numpy()
-        code = np.where(
-            np.isnan(hi), 2,
-            np.where((e > hi + 1e-9) | (e < lo - 1e-9), -1, 1)
-        ).astype(np.int32)
+        e, code = _ema_pctl_kernel(pdf, keys_l, value, s, p, window)
         out = pdf[cols].copy()
         out["ema"] = e
         out["code"] = code
@@ -202,6 +210,27 @@ def ema_percentile_check(
 
     return _grouped(df.select(*cols, value), keys_l, order, fn,
                     _out_schema(df, cols, "ema double, code int"))
+
+
+def _ema_pctl_kernel(pdf: pd.DataFrame, keys_l, value: str, s: float,
+                     p: float, window: int):
+    """Shared EMA + rolling-percentile-band kernel -> (ema, code):
+    one ewm per series, verdict -1 iff the current EMA leaves the
+    trailing-window [P_{100-p}, P_p] band (1e-9 inside margin), warm-up
+    Undefined. Used by ema_percentile_check AND ema_suite_check so the
+    recurrence/margins live in exactly one place."""
+    g = pdf.groupby(list(keys_l), sort=False)[value]
+    ema = g.ewm(alpha=s, adjust=False).mean().reset_index(drop=True)
+    ge = ema.groupby(_series_ids(pdf, keys_l))
+    hi = ge.rolling(window).quantile(p, interpolation="linear").to_numpy()
+    lo = ge.rolling(window).quantile(1.0 - p,
+                                     interpolation="linear").to_numpy()
+    e = ema.to_numpy()
+    code = np.where(
+        np.isnan(hi), 2,
+        np.where((e > hi + 1e-9) | (e < lo - 1e-9), -1, 1)
+    ).astype(np.int32)
+    return e, code
 
 
 def ema_suite_check(
@@ -220,19 +249,8 @@ def ema_suite_check(
     cols = list(keys_l) + [order] + list(extra_cols)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = pdf.groupby(list(keys_l), sort=False)[value]
-        ema = g.ewm(alpha=s, adjust=False).mean().reset_index(drop=True)
-        e = ema.to_numpy()
+        e, code_pctl = _ema_pctl_kernel(pdf, keys_l, value, s, p, window)
         vn = 2.0 * (e - (UL + LL) / 2.0) / (UL - LL)
-        ge = ema.groupby(pdf[keys_l[0]].to_numpy() if len(keys_l) == 1
-                         else pdf[list(keys_l)].apply(tuple, axis=1).to_numpy())
-        hi = ge.rolling(window).quantile(p, interpolation="linear").to_numpy()
-        lo = ge.rolling(window).quantile(1.0 - p,
-                                         interpolation="linear").to_numpy()
-        code_pctl = np.where(
-            np.isnan(hi), 2,
-            np.where((e > hi + 1e-9) | (e < lo - 1e-9), -1, 1)
-        ).astype(np.int32)
         out = pdf[cols].copy()
         out["ema"] = e
         out["code_ema"] = _ladder_codes_np(vn, warning_stages)
@@ -256,29 +274,16 @@ def macd_cusum_check(
     independent Cython passes over the same group object)."""
     keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
     a1, a2 = 2.0 / (period1 + 1), 2.0 / (period2 + 1)
-    q = 1.0 - decay
     cols = list(keys_l) + [order] + list(extra_cols)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = pdf.groupby(list(keys_l), sort=False)
-        gv = g[value]
+        gv = pdf.groupby(list(keys_l), sort=False)[value]
         e1 = gv.ewm(alpha=a1, adjust=False).mean().to_numpy()
         e2 = gv.ewm(alpha=a2, adjust=False).mean().to_numpy()
         macd = e1 - e2
         vn = 2.0 * (macd - (macd_UL + macd_LL) / 2.0) / (macd_UL - macd_LL)
-        rm = gv.rolling(averaging, min_periods=1).mean().to_numpy()
-        prev = gv.transform(lambda sr: sr.rolling(
-            averaging, min_periods=1).mean().shift(1, fill_value=0.0)
-        ).to_numpy()
-        delta = (rm - prev) / np.abs(rm)
-        t = g.cumcount().to_numpy().astype(np.float64)
-        scaled = delta * np.power(q, -t)
-        cs = pd.Series(scaled).groupby(
-            pdf[list(keys_l)].apply(tuple, axis=1).to_numpy()
-        ).cumsum().to_numpy() if len(keys_l) > 1 else pd.Series(
-            scaled
-        ).groupby(pdf[keys_l[0]].to_numpy()).cumsum().to_numpy()
-        c = np.power(q, t + 1.0) * cs
+        delta = _rolling_delta(pdf, keys_l, value, averaging)
+        c = _decayed_cusum(delta, _series_ids(pdf, keys_l), decay)
         out = pdf[cols].copy()
         out["macd"] = macd
         out["code_macd"] = _ladder_codes_np(vn, macd_stages)

@@ -25,42 +25,57 @@ import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _whole_batch(batches: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
+    """Collect ONE key's micro-batch (delivered as multiple Arrow
+    chunks when it exceeds arrow.maxRecordsPerBatch) and sort it by
+    event order GLOBALLY. Sorting per chunk would fold a late row from
+    a later chunk into the recurrence after later-order rows — breaking
+    the stream == batch equivalence every state fn here advertises."""
+    chunks = [c for c in batches if len(c)]
+    if not chunks:
+        return None
+    return pd.concat(chunks, ignore_index=True) \
+        .sort_values("order").reset_index(drop=True)
+
+
 def ema_state_fn(N: int, LL: float, UL: float,
                  warning_stages: Sequence[float] = ()):
     """Build the (key, batches, state) -> batches function for
     ``applyInPandasWithState``. Output rows: key, order, value, ema, code."""
     s = 2.0 / (N + 1)
-    q = 1.0 - s
     mid, half = (UL + LL) / 2.0, (UL - LL) / 2.0
     stages = sorted(warning_stages)
 
     def fn(key: Tuple[Any, ...], batches: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         prev_ema, prev_n = state.get if state.exists else (float("nan"), 0)
-        for pdf in batches:
-            pdf = pdf.sort_values("order").reset_index(drop=True)
-            v = pdf["value"].to_numpy(dtype=np.float64)
-            t = np.arange(1, len(v) + 1, dtype=np.float64)
-            if prev_n == 0:
-                # first element seeds the EMA (reference: EMA_0 = v_0)
-                ema = pd.Series(v).ewm(alpha=s, adjust=False).mean().to_numpy()
-            else:
-                # continuation: EMA_t = q^t * prev + s * sum q^(t-i) v_i
-                contrib = np.power(q, -t) * v
-                ema = np.power(q, t) * (prev_ema + s * np.cumsum(contrib))
-            vn = (ema - mid) / half
-            code = np.ones(len(v), dtype=np.int32)
-            if stages:
-                code[np.abs(vn) > stages[0]] = 0
-            code[vn > 1.0] = -1
-            code[vn < -1.0] = -1
-            out = pdf[["key", "order"]].copy()
-            out["value"] = v
-            out["ema"] = ema
-            out["code"] = code
-            if len(v):
-                prev_ema, prev_n = float(ema[-1]), prev_n + len(v)
-            yield out
+        pdf = _whole_batch(batches)
+        if pdf is None:
+            state.update((prev_ema, prev_n))
+            return
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        if prev_n == 0:
+            # first element seeds the EMA (reference: EMA_0 = v_0)
+            ema = pd.Series(v).ewm(alpha=s, adjust=False).mean().to_numpy()
+        else:
+            # continuation by SEEDING the ewm with the carried EMA
+            # (prepend, then drop): y_0 = prev, y_t = (1-s) y_{t-1} +
+            # s v_t — numerically stable for any batch length, unlike
+            # the q^-t closed form which overflows past ~1/s * 700 rows
+            ema = pd.Series(np.concatenate(([prev_ema], v))) \
+                .ewm(alpha=s, adjust=False).mean().to_numpy()[1:]
+        vn = (ema - mid) / half
+        code = np.ones(len(v), dtype=np.int32)
+        if stages:
+            code[np.abs(vn) > stages[0]] = 0
+        code[vn > 1.0] = -1
+        code[vn < -1.0] = -1
+        out = pdf[["key", "order"]].copy()
+        out["value"] = v
+        out["ema"] = ema
+        out["code"] = code
+        prev_ema, prev_n = float(ema[-1]), prev_n + len(v)
+        yield out
         state.update((prev_ema, prev_n))
 
     return fn
@@ -123,8 +138,8 @@ def clustering_retrain_state_fn(features: Sequence[str], *, eps: float,
                      if epoch > 0 else None)
         else:
             buf, cores, counter, epoch = np.empty((0, dim)), None, 0, 0
-        for pdf in batches:
-            pdf = pdf.sort_values("order").reset_index(drop=True)
+        pdf = _whole_batch(batches)
+        if pdf is not None:
             X = pdf[feats].to_numpy(dtype=np.float64)
             n = len(X)
             dist = np.full(n, np.inf)
@@ -208,8 +223,8 @@ def rrcf_state_fn(features: Sequence[str], *, num_trees: int,
             stream = pickle.loads(bytes(state.get[0]))
         else:
             stream = RRCFStream(num_trees, tree_size, seed)
-        for pdf in batches:
-            pdf = pdf.sort_values("order").reset_index(drop=True)
+        pdf = _whole_batch(batches)
+        if pdf is not None:
             rows = pdf[feats].to_numpy(dtype=np.float64).tolist()
             scores = np.fromiter((stream.insert_score(r) for r in rows),
                                  dtype=np.float64, count=len(rows))
@@ -257,8 +272,8 @@ def welford_state_fn(X: float, warning_stages: Sequence[float] = ()):
     def fn(key: Tuple[Any, ...], batches: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         n0, mean0, m20 = state.get if state.exists else (0.0, 0.0, 0.0)
-        for pdf in batches:
-            pdf = pdf.sort_values("order").reset_index(drop=True)
+        pdf = _whole_batch(batches)
+        if pdf is not None:
             v = pdf["value"].to_numpy(dtype=np.float64)
             # Row i's verdict uses all PRIOR rows (state + batch[0:i]).
             # Vectorized prefix moments: counts/sums/sumsqs via cumsum,
