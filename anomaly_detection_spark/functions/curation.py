@@ -78,13 +78,14 @@ class CurationReport:
     (``with_report=False``) is empty and never runs a job."""
 
     def __init__(self, spark, curated=None, observations=None, n_raw=None,
-                 persists=None):
+                 persists=None, frames=None):
         self._spark = spark
         self._curated = curated
         self._obs: dict[str, Observation] = observations or {}
         self._n_raw = n_raw
         self._rows = None if observations else []
         self._persists: list = persists if persists is not None else []
+        self._frames = frames     # (gated, exact, final) for the fallback
         # callers that discard the report (``curated, _ = curate(...)``)
         # must not leak the pipeline's internal persists for the session
         # lifetime: a GC finalizer drains whatever release() hasn't
@@ -130,19 +131,49 @@ class CurationReport:
             # and double-fire the metrics).
             import time as _time
 
-            for _ in range(20):
-                _time.sleep(0.05)
-                if self._available(first):
+            for _ in range(40):         # 2s: listener lag on a busy
+                _time.sleep(0.05)       # driver costs a wait, never a
+                if self._available(first):  # spurious re-execution
                     break
             else:
                 # no action has consumed `curated`: drive the plan once
                 # ourselves (the ONLY execution reporting ever adds, and
                 # only on report-before-output access patterns)
                 self._curated.count()
+        n0 = self._n_raw
+        n_scan = int(self._obs["scan"].get["n"])
         n1 = int(self._obs["gated"].get["n"])
         n2 = int(self._obs["exact"].get["n"])
-        n3 = int(self._obs["final"].get["n"]) if "final" in self._obs else n2
-        n0 = self._n_raw
+        n3 = (int(self._obs["final"].get["n"])
+              if "final" in self._obs else n2)
+        trusted = n_scan == n0
+        if trusted and "final" in self._obs:
+            # post-shuffle truncation check: the anti-join's build side
+            # materializes fully, so a complete pass satisfies
+            # n_final == n_exact - n_losers exactly. When AQE's
+            # empty-relation propagation eliminates the join (no losers)
+            # the losers metrics never fire — then the identity
+            # degenerates to n_final == n_exact, which truncation still
+            # breaks (observed rows strictly under-count).
+            n_losers = 0
+            lo = self._obs.get("losers")
+            if lo is not None and self._available(lo):
+                try:
+                    n_losers = int(lo.get["n"])
+                except Exception:
+                    n_losers = 0
+            trusted = n3 == n2 - n_losers
+        if not trusted:
+            # The consumer's FIRST action was early-stopping (take/
+            # first/show/limit): the metrics observed only the rows the
+            # CollectLimit scanned (n_scan < n0 witnesses it), and a JVM
+            # Observation keeps its first result forever. Recover with
+            # dedicated count jobs on the retained lazy stage frames —
+            # slower, but the counters stay CORRECT.
+            gated, exact, final = self._frames
+            n1 = gated.count()
+            n2 = exact.count()
+            n3 = final.count() if final is not None else n2
         stages = [("quality_lang_gate", n0, n1), ("exact_dedup", n1, n2),
                   ("near_dedup", n2, n3)]
         self._rows = [(s, int(b), int(a), int(b - a)) for s, b, a in stages]
@@ -188,6 +219,15 @@ def curate(
         cur = df.withColumn(
             "quality", quality_score(F.col(text_col))
         ).withColumn("n_tokens", ws_token_count(F.col(text_col)))
+        if observe:
+            # scan WITNESS: counts rows entering the gate. A full-pass
+            # consumer action observes exactly n_raw here; an
+            # early-stopping action (take/first/limit) observes fewer —
+            # the report uses the mismatch to detect poisoned metrics
+            # and fall back to explicit counts (CollectMetrics is a
+            # pushdown barrier, so the gate filter cannot slide below it)
+            obs["scan"] = Observation()
+            cur = cur.observe(obs["scan"], F.count(F.lit(1)).alias("n"))
         gate = (F.col("quality") >= cfg.min_quality) & (
             F.col("n_tokens") >= cfg.min_tokens
         )
@@ -207,9 +247,9 @@ def curate(
         if observe:
             obs["exact"] = Observation()
             exact = exact.observe(obs["exact"], F.count(F.lit(1)).alias("n"))
-        return exact, obs
+        return gated, exact, obs
 
-    exact, obs = build(observe=with_report)
+    gated, exact, obs = build(observe=with_report)
 
     # near-dedup: drop the higher-id member of each near-dup pair. The
     # pair pipeline consumes an UNOBSERVED copy of the chain: the observed
@@ -220,7 +260,7 @@ def curate(
     # consumer, so nothing needs a persist here (round-2 leak fixed).
     persists: list = []
     if cfg.near_dedup:
-        lsh_input = build(observe=False)[0] if with_report else exact
+        lsh_input = build(observe=False)[1] if with_report else exact
         pairs = minhash_lsh_pairs(
             lsh_input, id_col, text_col,
             jaccard_threshold=cfg.jaccard_threshold,
@@ -235,7 +275,20 @@ def curate(
                 .select(F.col("id").alias(id_col))
         else:
             losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    fallback_final = None
+    if cfg.near_dedup:
+        if with_report:
+            # second witness: the anti-join's BUILD side always
+            # materializes fully (a limit cannot early-stop it), and
+            # losers is a distinct subset of exact's ids, so a full pass
+            # satisfies n_final == n_exact - n_losers exactly. A
+            # truncated final stage (post-shuffle take/limit) breaks
+            # the identity and the report falls back to explicit counts
+            obs["losers"] = Observation()
+            losers = losers.observe(obs["losers"],
+                                    F.count(F.lit(1)).alias("n"))
         final = exact.join(losers, on=id_col, how="left_anti")
+        fallback_final = final
         if with_report:
             obs["final"] = Observation()
             final = final.observe(obs["final"], F.count(F.lit(1)).alias("n"))
@@ -252,4 +305,5 @@ def curate(
         return curated, CurationReport(spark, persists=persists)
 
     n0 = df.count()  # column-pruned scan: parquet footer counts
-    return curated, CurationReport(spark, curated, obs, n0, persists)
+    return curated, CurationReport(spark, curated, obs, n0, persists,
+                                   frames=(gated, exact, fallback_final))

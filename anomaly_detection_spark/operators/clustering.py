@@ -157,6 +157,12 @@ def clustering_retrain_check(
     khi = F.ceil((rn + S - first) / R).cast("int")
     ks = F.when(khi >= klo, F.sequence(klo, khi)) \
         .otherwise(F.array().cast("array<int>"))
+    # the transform lambda is interpreted, but over a <= 1+ceil(S/R)-
+    # element array per row (3 here) — PLANS.md lesson #1 scopes HOFs as
+    # fine at that size, and the alternative (union of a native score
+    # frame and a native exploded train frame) recomputes the window
+    # scan+shuffle+sort twice, which measured far worse. Same shape as
+    # the round-2-approved iforest_retrain encoding.
     roles = F.concat(
         F.array(F.struct(score_e.alias("e"), F.lit(0).alias("t"))),
         F.transform(ks, lambda k: F.struct(k.cast("int").alias("e"),

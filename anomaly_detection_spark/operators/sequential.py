@@ -85,6 +85,8 @@ def ema_check(
             .ewm(alpha=s, adjust=False).mean()
             .to_numpy()
         )
+        ema = _propagate_nan(ema, pdf[value].to_numpy(dtype=np.float64),
+                             _series_ids(pdf, keys_l))
         vn = 2.0 * (ema - (UL + LL) / 2.0) / (UL - LL)
         out = pdf[cols].copy()
         out["ema"] = ema
@@ -113,9 +115,12 @@ def macd_check(
         g = pdf.groupby(list(keys_l), sort=False)[value]
         e1 = g.ewm(alpha=a1, adjust=False).mean().to_numpy()
         e2 = g.ewm(alpha=a2, adjust=False).mean().to_numpy()
-        vn = 2.0 * ((e1 - e2) - (UL + LL) / 2.0) / (UL - LL)
+        macd = _propagate_nan(e1 - e2,
+                              pdf[value].to_numpy(dtype=np.float64),
+                              _series_ids(pdf, keys_l))
+        vn = 2.0 * (macd - (UL + LL) / 2.0) / (UL - LL)
         out = pdf[cols].copy()
-        out["macd"] = e1 - e2
+        out["macd"] = macd
         out["code"] = _ladder_codes_np(vn, warning_stages)
         return out
 
@@ -126,6 +131,26 @@ def macd_check(
 def _series_ids(pdf: pd.DataFrame, keys_l) -> np.ndarray:
     return (pdf[keys_l[0]].to_numpy() if len(keys_l) == 1
             else pdf[list(keys_l)].apply(tuple, axis=1).to_numpy())
+
+
+def _propagate_nan(out: np.ndarray, src: np.ndarray,
+                   series: np.ndarray) -> np.ndarray:
+    """The reference's sequential recurrences (and their DuckDB
+    list_reduce oracle twins) propagate a NaN input forever within its
+    series — (state + NaN) stays NaN — but pandas' Cython ewm/rolling
+    kernels SKIP NaN inputs, silently recovering. Re-impose the
+    reference semantics: from the first NaN source value on, every
+    later metric in that series is NaN (data-defensive: today's
+    testdata has no NaN, a future generator must not flip verdicts)."""
+    bad = np.isnan(src)
+    if not bad.any():
+        return out
+    starts = np.concatenate(([True], series[1:] != series[:-1]))
+    grp = np.cumsum(starts) - 1
+    poisoned = pd.Series(bad).groupby(grp).cummax().to_numpy().astype(bool)
+    out = out.copy()
+    out[poisoned] = np.nan
+    return out
 
 
 def _rolling_delta(pdf: pd.DataFrame, keys_l, value: str,
@@ -177,7 +202,9 @@ def cumulative_check(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         delta = _rolling_delta(pdf, keys_l, value, averaging)
-        c = _decayed_cusum(delta, _series_ids(pdf, keys_l), decay)
+        sids = _series_ids(pdf, keys_l)
+        c = _propagate_nan(_decayed_cusum(delta, sids, decay),
+                           pdf[value].to_numpy(dtype=np.float64), sids)
         out = pdf[cols].copy()
         out["cusum"] = c
         out["code"] = _ladder_codes_np(c, warning_stages)
@@ -220,12 +247,17 @@ def _ema_pctl_kernel(pdf: pd.DataFrame, keys_l, value: str, s: float,
     Undefined. Used by ema_percentile_check AND ema_suite_check so the
     recurrence/margins live in exactly one place."""
     g = pdf.groupby(list(keys_l), sort=False)[value]
-    ema = g.ewm(alpha=s, adjust=False).mean().reset_index(drop=True)
-    ge = ema.groupby(_series_ids(pdf, keys_l))
+    sids = _series_ids(pdf, keys_l)
+    ema = pd.Series(_propagate_nan(
+        g.ewm(alpha=s, adjust=False).mean().to_numpy(),
+        pdf[value].to_numpy(dtype=np.float64), sids))
+    ge = ema.groupby(sids)
     hi = ge.rolling(window).quantile(p, interpolation="linear").to_numpy()
     lo = ge.rolling(window).quantile(1.0 - p,
                                      interpolation="linear").to_numpy()
     e = ema.to_numpy()
+    # a NaN-poisoned ema keeps every later window NaN-bearing, so the
+    # rolling quantile stays NaN and the verdict stays Undefined(2)
     code = np.where(
         np.isnan(hi), 2,
         np.where((e > hi + 1e-9) | (e < lo - 1e-9), -1, 1)
@@ -278,12 +310,14 @@ def macd_cusum_check(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         gv = pdf.groupby(list(keys_l), sort=False)[value]
+        sids = _series_ids(pdf, keys_l)
+        v = pdf[value].to_numpy(dtype=np.float64)
         e1 = gv.ewm(alpha=a1, adjust=False).mean().to_numpy()
         e2 = gv.ewm(alpha=a2, adjust=False).mean().to_numpy()
-        macd = e1 - e2
+        macd = _propagate_nan(e1 - e2, v, sids)
         vn = 2.0 * (macd - (macd_UL + macd_LL) / 2.0) / (macd_UL - macd_LL)
         delta = _rolling_delta(pdf, keys_l, value, averaging)
-        c = _decayed_cusum(delta, _series_ids(pdf, keys_l), decay)
+        c = _propagate_nan(_decayed_cusum(delta, sids, decay), v, sids)
         out = pdf[cols].copy()
         out["macd"] = macd
         out["code_macd"] = _ladder_codes_np(vn, macd_stages)

@@ -161,16 +161,6 @@ FROM lineitem GROUP BY 1, 2
 # 5-13. windowed / sequential checks on the events stream
 # ---------------------------------------------------------------------------
 
-def q_welford_windowed_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.windowed import welford_windowed
-
-    out = welford_windowed(
-        _events(spark, sf_dir), "user_id", "ts", "value", N=10, X=3.0,
-        warning_stages=(0.9,),
-    )
-    return out.select("event_id", "code")
-
-
 SQL_WELFORD_WINDOWED = f"""
 WITH w AS (
   SELECT event_id,
@@ -184,16 +174,6 @@ SELECT event_id,
             ELSE {ladder_code_sql("((value - m) / (3.0 * s))", (0.9,))} END AS code
 FROM w
 """
-
-
-def q_welford_streaming_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.windowed import welford_streaming
-
-    out = welford_streaming(
-        _events(spark, sf_dir), "user_id", "ts", "value", X=3.0,
-        warning_stages=(0.9,),
-    )
-    return out.select("event_id", "code")
 
 
 SQL_WELFORD_STREAMING = f"""
@@ -289,16 +269,6 @@ FROM w
 """
 
 
-def q_ema_check_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.sequential import ema_check
-
-    out = ema_check(
-        _events(spark, sf_dir), "user_id", "ts", "value", N=9,
-        LL=0.0, UL=400.0, warning_stages=(0.9,), extra_cols=("event_id",),
-    )
-    return out.select("event_id", F.round("ema", 6).alias("ema"), "code")
-
-
 SQL_EMA = f"""
 WITH w AS (
   SELECT event_id,
@@ -306,21 +276,13 @@ WITH w AS (
            ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
            (acc, x) -> x * 0.2 + acc * 0.8) AS ema
   FROM events)
-SELECT event_id, round(ema, 6) AS ema,
-       {ladder_code_sql("(2.0 * (ema - 200.0) / 400.0)", (0.9,))} AS code
+SELECT event_id,
+       CASE WHEN isnan(ema) THEN NULL ELSE round(ema, 6) END AS ema,
+       CASE WHEN isnan(ema) THEN 1
+            ELSE {ladder_code_sql("(2.0 * (ema - 200.0) / 400.0)", (0.9,))}
+       END AS code
 FROM w
 """
-
-
-def q_macd_check_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.sequential import macd_check
-
-    out = macd_check(
-        _events(spark, sf_dir), "user_id", "ts", "value",
-        period1=5, period2=20, LL=-50.0, UL=50.0, warning_stages=(0.5,),
-        extra_cols=("event_id",),
-    )
-    return out.select("event_id", F.round("macd", 6).alias("macd"), "code")
 
 
 _A1 = 2.0 / 6.0
@@ -335,21 +297,13 @@ WITH w AS (
            ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
            (acc, x) -> x * {_A2} + acc * {1.0 - _A2}) AS e2
   FROM events)
-SELECT event_id, round(e1 - e2, 6) AS macd,
-       {ladder_code_sql("(2.0 * ((e1 - e2) - 0.0) / 100.0)", (0.5,))} AS code
+SELECT event_id,
+       CASE WHEN isnan(e1 - e2) THEN NULL ELSE round(e1 - e2, 6) END AS macd,
+       CASE WHEN isnan(e1 - e2) THEN 1
+            ELSE {ladder_code_sql("(2.0 * ((e1 - e2) - 0.0) / 100.0)", (0.5,))}
+       END AS code
 FROM w
 """
-
-
-def q_cumulative_check_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.sequential import cumulative_check
-
-    out = cumulative_check(
-        _events(spark, sf_dir), "user_id", "ts", "value",
-        averaging=5, decay=0.01, warning_stages=(0.5,),
-        extra_cols=("event_id",),
-    )
-    return out.select("event_id", F.round("cusum", 6).alias("cusum"), "code")
 
 
 SQL_CUMULATIVE = f"""
@@ -368,8 +322,11 @@ c AS (
              ({_W_USER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
            (acc, x) -> (acc + x) * 0.99) AS cusum
   FROM d)
-SELECT event_id, round(cusum, 6) AS cusum,
-       {ladder_code_sql("cusum", (0.5,))} AS code
+SELECT event_id,
+       CASE WHEN isnan(cusum) THEN NULL ELSE round(cusum, 6) END AS cusum,
+       CASE WHEN isnan(cusum) THEN 1
+            ELSE {ladder_code_sql("cusum", (0.5,))}
+       END AS code
 FROM c
 """
 
@@ -414,22 +371,6 @@ SELECT event_id,
        AS score
 FROM scored
 """
-
-
-def q_combination_and_or_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.combination import combine_and, combine_or
-    from anomaly_detection_spark.operators.windowed import welford_windowed
-
-    vn = 2.0 * (F.col("value") - 250.0) / 500.0
-    e = welford_windowed(
-        _events(spark, sf_dir), "user_id", "ts", "value", N=10, X=3.0,
-        warning_stages=(0.9,), out="c_w",
-    ).withColumn("c_b", ladder_code(vn, (0.8,)))
-    return e.select(
-        "event_id",
-        combine_and(["c_w", "c_b"]).alias("code_and"),
-        combine_or(["c_w", "c_b"]).alias("code_or"),
-    )
 
 
 SQL_COMBINATION = f"""
@@ -606,19 +547,6 @@ FROM u GROUP BY sha256(text) HAVING count(*) > 1
 # 20-24. text analysis
 # ---------------------------------------------------------------------------
 
-def q_token_counts_documents(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.functions.text import (
-        bpe_ish_token_count, ws_token_count,
-    )
-
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        ws_token_count(F.col("text")).alias("ws_tokens"),
-        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
-    )
-
-
 from anomaly_detection_spark.functions.text import (  # noqa: E402
     bpe_ish_token_count_sql, lang_id_sql, ws_token_count_sql,
 )
@@ -640,21 +568,6 @@ def q_lang_id_documents(spark, sf_dir) -> DataFrame:
 
 
 SQL_LANG_ID = f"SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents"
-
-
-def q_quality_documents(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.functions.text import quality_features, quality_score
-
-    d = _docs(spark, sf_dir)
-    feats = quality_features(F.col("text"))
-    return d.select(
-        "doc_id",
-        feats["n_words"].alias("n_words"),
-        F.round(feats["symbol_ratio"], 6).alias("symbol_ratio"),
-        F.round(feats["mean_word_len"], 6).alias("mean_word_len"),
-        feats["stopword_hits"].alias("stopword_hits"),
-        F.round(quality_score(F.col("text")), 6).alias("quality"),
-    )
 
 
 def _cnt_sql(expr_s: str, kw: str) -> str:
@@ -853,15 +766,6 @@ def q_filtering_check_events(spark, sf_dir) -> DataFrame:
     ).select("event_id", F.round("filtered", 6).alias("filtered"), "code")
 
 
-def q_repair_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.sequential import last_n_average_repair
-
-    return last_n_average_repair(
-        _events(spark, sf_dir), "user_id", "ts", "value",
-        N=5, LL=5.0, UL=350.0, extra_cols=("event_id",),
-    ).select("event_id", "code", F.round("suggested_value", 6).alias("suggested_value"))
-
-
 def q_iforest_embeddings(spark, sf_dir) -> DataFrame:
     from anomaly_detection_spark.operators.mvoutlier import iforest_check
 
@@ -902,16 +806,10 @@ REGISTRY: dict[str, tuple] = {
     "constraint_suite_documents": (q_constraint_suite_documents, SQL_CONSTRAINT_DOCS),
     "constraint_check_events": (q_constraint_check_events, SQL_CONSTRAINT_EVENTS),
     "border_summary_lineitem": (q_border_summary_lineitem, SQL_BORDER_LINEITEM),
-    "welford_windowed_events": (q_welford_windowed_events, SQL_WELFORD_WINDOWED),
-    "welford_streaming_events": (q_welford_streaming_events, SQL_WELFORD_STREAMING),
     "percentile_check_events": (q_percentile_check_events, SQL_PERCENTILE),
     "hampel_check_events": (q_hampel_check_events, SQL_HAMPEL),
     "linear_fit_events": (q_linear_fit_events, SQL_LINEAR_FIT),
-    "ema_check_events": (q_ema_check_events, SQL_EMA),
-    "macd_check_events": (q_macd_check_events, SQL_MACD),
-    "cumulative_check_events": (q_cumulative_check_events, SQL_CUMULATIVE),
     "percent_score_events": (q_percent_score_events, SQL_PERCENT_SCORE),
-    "combination_and_or_events": (q_combination_and_or_events, SQL_COMBINATION),
     "column_stats_documents": (q_column_stats_documents, SQL_COLUMN_STATS_DOCS),
     "salted_stats_lineitem": (q_salted_stats_lineitem, SQL_SALTED_STATS),
     "welford_profile_events": (q_welford_profile_events, SQL_WELFORD_PROFILE),
@@ -919,9 +817,7 @@ REGISTRY: dict[str, tuple] = {
     "referential_orders_customer": (q_referential_orders_customer, SQL_REF_ORDERS),
     "referential_lineitem_part_bloom": (q_referential_lineitem_part_bloom, SQL_REF_LINEITEM),
     "exact_duplicates_documents": (q_exact_duplicates_documents, SQL_EXACT_DUP_DOCS),
-    "token_counts_documents": (q_token_counts_documents, SQL_TOKEN_COUNTS),
     "lang_id_documents": (q_lang_id_documents, SQL_LANG_ID),
-    "quality_documents": (q_quality_documents, SQL_QUALITY),
     "fingerprint_documents": (q_fingerprint_documents, SQL_FINGERPRINT),
     "cosine_topk_embeddings": (q_cosine_topk_embeddings, SQL_COSINE_TOPK),
     "psi_lang_documents": (q_psi_lang_documents, SQL_PSI_LANG),
@@ -933,7 +829,6 @@ REGISTRY: dict[str, tuple] = {
     # derived-invariant oracles.
     "simhash_signatures_documents": (q_simhash_signatures_documents, None),
     "filtering_check_events": (q_filtering_check_events, None),
-    "repair_events": (q_repair_events, None),
     "iforest_embeddings": (q_iforest_embeddings, None),
     "image_features_media": (q_image_features_media, None),
 }
@@ -943,16 +838,6 @@ REGISTRY: dict[str, tuple] = {
 # extended coverage: ema-percentile, asof band, time averages, trend class,
 # alicante score, clustering, pca-iforest, periodic repair
 # ---------------------------------------------------------------------------
-
-def q_ema_percentile_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.sequential import ema_percentile_check
-
-    out = ema_percentile_check(
-        _events(spark, sf_dir), "user_id", "ts", "value",
-        N=9, percentile=95.0, window=20, extra_cols=("event_id",),
-    )
-    return out.select("event_id", F.round("ema", 6).alias("ema"), "code")
-
 
 SQL_EMA_PERCENTILE = f"""
 WITH e AS (
@@ -967,8 +852,10 @@ q AS (
          quantile_cont(ema, 0.95) OVER ({_W_USER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS hi,
          quantile_cont(ema, 0.05) OVER ({_W_USER} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lo
   FROM e)
-SELECT event_id, round(ema, 6) AS ema,
-       CASE WHEN c < 20 THEN 2 WHEN ema > hi + 1e-9 OR ema < lo - 1e-9 THEN -1 ELSE 1 END AS code
+SELECT event_id,
+       CASE WHEN isnan(ema) THEN NULL ELSE round(ema, 6) END AS ema,
+       CASE WHEN c < 20 OR isnan(ema) THEN 2
+            WHEN ema > hi + 1e-9 OR ema < lo - 1e-9 THEN -1 ELSE 1 END AS code
 FROM q
 """
 
@@ -1078,19 +965,6 @@ FROM c
 """
 
 
-def q_percent_score_alicante_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.codes import ladder_status, normalized
-    from anomaly_detection_spark.operators.windowed import percent_score_alicante
-
-    e = _events(spark, sf_dir).withColumn(
-        "status", ladder_status(normalized(F.col("value"), 0.0, 300.0), (0.9,))
-    )
-    out = percent_score_alicante(
-        e, "user_id", "ts", ["status"], interval=86400, num_in_interval=5,
-    )
-    return out.select("event_id", F.round("score", 6).alias("score"))
-
-
 SQL_ALICANTE = """
 WITH v AS (
   SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
@@ -1172,27 +1046,12 @@ def q_pca_iforest_embeddings(spark, sf_dir) -> DataFrame:
     ).select("vec_id", "label", F.round("score", 6).alias("score"), "code")
 
 
-def q_periodic_repair_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.sequential import (
-        periodic_last_n_average_repair,
-    )
-
-    return periodic_last_n_average_repair(
-        _events(spark, sf_dir), "user_id", "ts", "value",
-        N=3, period=2, LL=5.0, UL=350.0, extra_cols=("event_id",),
-    ).select("event_id", "code",
-             F.round("suggested_value", 6).alias("suggested_value"))
-
-
 REGISTRY.update({
-    "ema_percentile_events": (q_ema_percentile_events, SQL_EMA_PERCENTILE),
     "asof_band_check_events": (q_asof_band_check_events, SQL_ASOF_BAND),
     "time_averages_events": (q_time_averages_events, SQL_TIME_AVERAGES),
     "trend_classification_events": (q_trend_classification_events, SQL_TREND_CLASS),
-    "percent_score_alicante_events": (q_percent_score_alicante_events, SQL_ALICANTE),
     "clustering_embeddings": (q_clustering_embeddings, SQL_CLUSTERING),
     "pca_iforest_embeddings": (q_pca_iforest_embeddings, None),
-    "periodic_repair_events": (q_periodic_repair_events, None),
 })
 
 
@@ -1880,9 +1739,6 @@ REGISTRY.update({
 # recurrences have exact list_reduce twins (the error FLAGS depend only on
 # raw values, so the accumulator only needs the repaired list)
 REGISTRY["filtering_check_events"] = (q_filtering_check_events, SQL_FILTERING)
-REGISTRY["repair_events"] = (q_repair_events, SQL_REPAIR)
-REGISTRY["periodic_repair_events"] = (q_periodic_repair_events,
-                                      SQL_PERIODIC_REPAIR)
 
 
 def q_dedup_components_documents(spark, sf_dir) -> DataFrame:
@@ -2468,15 +2324,6 @@ SELECT (SELECT count(*) FROM documents) AS rows_raw,
 """
 
 
-for _merged_away in [
-    "welford_windowed_events", "welford_streaming_events",
-    "ema_check_events", "ema_percentile_events",
-    "macd_check_events", "cumulative_check_events",
-    "repair_events", "periodic_repair_events",
-    "combination_and_or_events", "percent_score_alicante_events",
-    "quality_documents", "token_counts_documents",
-]:
-    del REGISTRY[_merged_away]
 
 REGISTRY.update({
     "welford_suite_events": (q_welford_suite_events, SQL_WELFORD_SUITE),

@@ -28,7 +28,11 @@ def bounded_sample_rows(
 ) -> list:
     """Up to ``n`` driver-side Rows from ``df``, spread over ALL
     partitions: deterministic (fixed seed, deterministic partitioning),
-    bounded partial read per partition, never a count job."""
+    bounded partial read per partition, never a count job. Guaranteed to
+    return min(n, len(df)) rows: skew-proof because the final fallback
+    lets EVERY partition contribute up to n rows (sum of per-partition
+    minima >= min(total, n)), so one hot partition after a selective
+    filter can fill the sample alone."""
     p = max(1, df.rdd.getNumPartitions())
     k = -(-n // p)  # ceil
     rows = (
@@ -37,5 +41,10 @@ def bounded_sample_rows(
         .collect()
     )
     if len(rows) < n:
+        # balanced per-partition prefixes
         rows = df.rdd.mapPartitions(lambda it: islice(it, k)).collect()
+    if len(rows) < n:
+        # skewed/mostly-empty partitions: allow any partition to fill
+        # the whole sample (still a bounded early-stopping read)
+        rows = df.rdd.mapPartitions(lambda it: islice(it, n)).collect()
     return rows[:n]

@@ -205,7 +205,12 @@ def streaming_curate(
     stage counters are observe metrics riding the output write, plus a
     second observe node for the quality moments and the order-
     insensitive lineage fingerprint), then commits an audit row keyed
-    ``batch_<id>``. Exactly-once per batch id under crash/redeliver:
+    ``batch_<id>``. Ledger field mapping for curation rows (the shared
+    AUDIT_SCHEMA names count verdict codes on the check path):
+    ``n_rows`` = curated rows out, ``n_error`` = gate + exact-dedup
+    drops, ``n_warning`` = near-dedup drops, ``n_undefined`` = 0,
+    ``mean``/``m2`` = quality moments of the survivors — consumers
+    aggregating mixed ledgers should segment on this run's run_id. Exactly-once per batch id under crash/redeliver:
     the output lands in its own ``batch_id=<id>`` partition directory
     with mode=overwrite (a redelivered batch REPLACES its partial
     files instead of appending duplicates — readers load ``output_dir``

@@ -56,6 +56,33 @@ def test_curate_report_rides_output_job(spark, docs):
     assert rows["exact_dedup"][1] == rows["near_dedup"][0]
 
 
+def test_curate_report_survives_partial_first_action(spark, docs):
+    """An early-stopping first action (take/first/limit) fires the
+    observe metrics with partial counts (a JVM Observation keeps its
+    first result forever). The scan witness detects the poisoning
+    (n_scan < n_raw) and the report falls back to explicit counts, so
+    the stage counters stay CORRECT — review finding reproduction."""
+    from anomaly_detection_spark.functions.curation import (
+        CurationConfig, curate,
+    )
+
+    cfg = CurationConfig(min_quality=0.3,
+                         allowed_langs=("en", "de", "fr", "es", "zh"),
+                         jaccard_threshold=0.6)
+    base = docs.limit(300)
+    curated, report = curate(base, config=cfg)
+    assert len(curated.take(1)) == 1          # partial action poisons obs
+    rows = {r[0]: (r[1], r[2]) for r in report.rows()}
+
+    # ground truth from an independent full run
+    c2, r2 = curate(base, config=cfg)
+    n_true = c2.count()
+    truth = {r[0]: (r[1], r[2]) for r in r2.rows()}
+    assert rows == truth
+    assert rows["near_dedup"][1] == n_true
+    assert rows["quality_lang_gate"][0] == 300
+
+
 def test_curate_report_before_consume_runs_once(spark, docs):
     """Reading the report before any action on curated drives the plan
     exactly once (a count) and later report reads are free."""
@@ -126,6 +153,13 @@ def test_bounded_sample_rows(spark, docs):
 
     small = bounded_sample_rows(sel.filter(F.col("doc_id") < 20), 50)
     assert len(small) == sel.filter(F.col("doc_id") < 20).count()
+
+    # skew-proof fill: all 6000 rows hash into ONE of 64 partitions; the
+    # per-partition cap alone returned a fraction of n on this shape
+    # (review finding) — the fallback must still deliver the full n
+    skewed = spark.range(6000).repartition(64, F.lit(0))
+    got = bounded_sample_rows(skewed, 1024)
+    assert len(got) == 1024
 
 
 def test_decayed_cusum_long_series_no_overflow():
@@ -205,13 +239,14 @@ def test_nan_null_defensive_oracles(spark, tmp_path):
     # converts NaN to null; the oracle mirrors it). Null-ts rows are
     # excluded here: window order over null ts differs across engines
     # (NULLS FIRST vs LAST), an ordering artifact, not NaN safety.
-    name = "repair_suite_events"
     sf2 = str(tmp_path / "dirty2")
     dirty.filter(F.col("ts").isNotNull()).write \
         .parquet(sf2 + "/events.parquet")
     con2 = duckdb.connect()
     con2.execute(f"CREATE VIEW events AS SELECT * FROM "
                  f"'{sf2}/events.parquet/*.parquet'")
+
+    name = "repair_suite_events"
     sdf = REGISTRY[name][0](spark, sf2)
     srows = [tuple(r) for r in sdf.collect()]
     nan_rows = [r for r in srows if r[0] % 97 == 0]
@@ -219,6 +254,17 @@ def test_nan_null_defensive_oracles(spark, tmp_path):
     cur = con2.execute(REGISTRY[name][1])
     assert canon(srows, sdf.columns) == \
         canon(cur.fetchall(), [d[0] for d in cur.description]), name
+
+    # ewm family: pandas kernels silently skip NaN while the reference
+    # recurrence and the list_reduce oracles propagate it — the
+    # _propagate_nan guard plus the isnan->NULL/code oracle mappings
+    # must keep both engines identical under NaN-poisoned series
+    for name in ["ema_suite_events", "macd_cusum_events"]:
+        sdf = REGISTRY[name][0](spark, sf2)
+        srows = [tuple(r) for r in sdf.collect()]
+        cur = con2.execute(REGISTRY[name][1])
+        assert canon(srows, sdf.columns) == \
+            canon(cur.fetchall(), [d[0] for d in cur.description]), name
 
 
 class TestRRCFStream:
