@@ -110,10 +110,19 @@ def _decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
-def image_features(df: DataFrame, *, resize_to: int = 32) -> DataFrame:
+def image_features(df: DataFrame, *, resize_to: int = 32,
+                   decoder: str = "auto") -> DataFrame:
     """Decode -> resize (area-mean pooling) -> 12-dim color-stat feature
     vector, one mapInPandas stage. Output keeps media_id only — blobs are
-    dropped as early as possible (column pruning for binary data)."""
+    dropped as early as possible (column pruning for binary data).
+
+    ``decoder``: "auto" (PIL when importable on the executor, else the
+    deterministic stub) or "stub" (always the deterministic tiled-byte
+    fake — used by the invariant query so its output is reproducible
+    regardless of which codecs the executor image happens to ship)."""
+    if decoder not in ("auto", "stub"):
+        raise ValueError(f"decoder must be 'auto' or 'stub', got {decoder!r}")
+    decode = _fake_decode_rgb if decoder == "stub" else _decode_rgb
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -122,7 +131,7 @@ def image_features(df: DataFrame, *, resize_to: int = 32) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
             ):
                 try:
-                    img = _decode_rgb(payload, w, h)
+                    img = decode(payload, w, h)
                     # nearest-neighbor resize to (resize_to, resize_to)
                     yi = (np.arange(resize_to) * img.shape[0] // resize_to)
                     xi = (np.arange(resize_to) * img.shape[1] // resize_to)

@@ -174,72 +174,84 @@ def ks_exact(base: DataFrame, cur: DataFrame, value: str, *,
              n_range_partitions: int | None = None) -> DataFrame:
     """EXACT two-sample Kolmogorov–Smirnov statistic, distributed — the
     verification path for :func:`ks_check`'s t-digest approximation.
-
-    sup|F_a - F_b| is attained at a sample point, so: (1) aggregate both
-    samples to per-distinct-value side counts (one hash shuffle, output
-    size = #distinct values); (2) range-partition + sort by value and
-    compute per-partition cumulative counts, shifted by the exclusive
-    prefix totals of earlier range partitions (collected once — P tiny
-    rows); (3) the global max of |cumA/nA - cumB/nB| is a plain max
-    aggregate. No global single-task sort window anywhere. Returns a
-    1-row DataFrame (ks double)."""
-    from pyspark.storagelevel import StorageLevel
-
+    Generic two-frame API; callers that can tag sides in one scan should
+    use :func:`ks_exact_tagged` (halves the input scans)."""
     u = base.select(F.col(value).cast("double").alias("v")) \
         .withColumn("s", F.lit(1)) \
         .unionByName(cur.select(F.col(value).cast("double").alias("v"))
                      .withColumn("s", F.lit(0)))
+    return ks_exact_tagged(u, n_range_partitions=n_range_partitions)
+
+
+def ks_exact_tagged(tagged: DataFrame, *,
+                    n_range_partitions: int | None = None) -> DataFrame:
+    """Exact two-sample KS over a pre-tagged frame with columns
+    ``v`` (double) and ``s`` (1 = base sample, 0 = current sample).
+
+    sup|F_a - F_b| is attained at a sample point, so: (1) aggregate both
+    samples to per-distinct-value side counts (one hash shuffle, output
+    size = #distinct values); (2) range-partition + sort by value; the
+    per-partition totals are collected once (P tiny rows) and turned into
+    exclusive prefix offsets; (3) a JVM-side window per range partition
+    (partitionBy(pid) ORDER BY v — pid is already the data's physical
+    partitioning, so the exchange moves O(#distinct) tiny rows) adds the
+    literal offset map and the global max of |cumA/nA - cumB/nB| is a
+    plain max aggregate. No global single-task sort anywhere, and no
+    Python worker round-trip in the hot path (measured: the former
+    mapInPandas final pass cost ~0.3s fixed per query at sf0.1; the
+    codegen'd window form runs the same job in ~0.1s — PLANS.md round-4).
+    Returns a 1-row DataFrame (ks double)."""
+    import itertools
+
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    spark = tagged.sparkSession
     d = (
-        u.filter(F.col("v").isNotNull())
+        tagged.filter(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.sum("s").alias("db"), F.sum(1 - F.col("s")).alias("dc"))
     )
-    P = n_range_partitions or base.sparkSession.sparkContext.defaultParallelism
-    # persist the range-partitioned frame: the totals job and the scan job
+    P = n_range_partitions or spark.sparkContext.defaultParallelism
+    # persist the range-partitioned frame: the totals job and the final job
     # must observe the SAME sampled range boundaries. Scoped with
     # try/finally (the result is one number, so materializing it here and
     # unpersisting costs nothing and leaves no cached blocks behind).
     d = d.repartitionByRange(P, "v").sortWithinPartitions("v") \
+        .withColumn("pid", F.spark_partition_id()) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         tot = (
-            d.select(F.spark_partition_id().alias("pid"), "db", "dc")
-            .groupBy("pid")
+            d.groupBy("pid")
             .agg(F.sum("db").alias("tb"), F.sum("dc").alias("tc"))
             .collect()
         )
         nb = float(sum(r["tb"] for r in tot))
         nc = float(sum(r["tc"] for r in tot))
         if nb == 0 or nc == 0:
-            return base.sparkSession.createDataFrame(
-                [(float("nan"),)], "ks double")
-        offsets = {}
+            return spark.createDataFrame([(float("nan"),)], "ks double")
+        offs_b: dict[int, float] = {}
+        offs_c: dict[int, float] = {}
         ob = oc = 0.0
         for r in sorted(tot, key=lambda r: r["pid"]):
-            offsets[r["pid"]] = (ob, oc)
+            offs_b[r["pid"]], offs_c[r["pid"]] = ob, oc
             ob += r["tb"]
             oc += r["tc"]
-
-        def part_ks(batches):
-            from pyspark import TaskContext
-
-            pid = TaskContext.get().partitionId()
-            cb, cc = offsets.get(pid, (0.0, 0.0))
-            best = 0.0
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                cumb = cb + np.cumsum(pdf["db"].to_numpy(dtype=np.float64))
-                cumc = cc + np.cumsum(pdf["dc"].to_numpy(dtype=np.float64))
-                best = max(best, float(np.abs(cumb / nb - cumc / nc).max()))
-                cb, cc = float(cumb[-1]), float(cumc[-1])
-            yield pd.DataFrame({"d": [best]})
-
-        ks_val = d.mapInPandas(part_ks, schema="d double").agg(
-            F.max("d").alias("ks")).first()["ks"]
+        # literal pid -> exclusive-prefix-total maps (P entries; at P=1000
+        # range partitions this is a 2000-literal expression — fine)
+        mb = F.create_map(*itertools.chain.from_iterable(
+            (F.lit(k), F.lit(v)) for k, v in offs_b.items()))
+        mc = F.create_map(*itertools.chain.from_iterable(
+            (F.lit(k), F.lit(v)) for k, v in offs_c.items()))
+        w = Window.partitionBy("pid").orderBy("v") \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        diff = ((mb[F.col("pid")] + F.sum("db").over(w)) / F.lit(nb)
+                - (mc[F.col("pid")] + F.sum("dc").over(w)) / F.lit(nc))
+        ks_val = d.select(diff.alias("diff")).agg(
+            F.max(F.abs(F.col("diff"))).alias("ks")).first()["ks"]
     finally:
         d.unpersist()
-    return base.sparkSession.createDataFrame([(float(ks_val),)], "ks double")
+    return spark.createDataFrame([(float(ks_val),)], "ks double")
 
 
 def partition_stat_drift(

@@ -38,6 +38,92 @@ _W_USER = "PARTITION BY user_id ORDER BY ts"
 
 
 # ---------------------------------------------------------------------------
+# planted-outlier corpora (round 4): deterministic gross outliers appended
+# to the events/embeddings tables so the seeded-model family (iforest,
+# rrcf, pca, recon, codisp, forecast, retrain) gets HARD driver oracles —
+# both engines enumerate the planted keys exactly; Spark additionally
+# asserts "planted rows flagged AND inlier error-rate bounded" (the
+# derived-invariant construction proven on the LSH/ANN family in round 3;
+# mirrors the reference's own seeded asserts, unit_tests.py:472-548).
+# ---------------------------------------------------------------------------
+
+def _events_spiked(spark, sf_dir, *, per: str = "user_id",
+                   mod: int | None = None, value: float = 5000.0,
+                   pair: bool = False):
+    """events plus per-selected-series planted spikes: for each series
+    (per=user_id or event_type; user series optionally sliced by
+    ``user_id % mod == 0``), clone the series' LAST row (max ts,
+    event_id desc tiebreak) as
+
+      spike A: event_id + 1e9, ts + 60s,  value = ``value`` (gross)
+      spike B: event_id + 2e9, ts + 120s, value = original   (pair=True)
+
+    The A/B pair puts consecutive gross feature vectors (spike, prev) and
+    (orig, spike) in the (value, lag-1) plane — near-orthogonal extremes
+    that no single principal direction can absorb (recon_drift's planted
+    invariant relies on this). Single scan + one window; the planted key
+    set is exactly SQL-derivable (see the oracles)."""
+    e = _events(spark, sf_dir)
+    cols = e.columns
+    w = Window.partitionBy(per).orderBy(F.desc("ts"), F.desc("event_id"))
+    e2 = e.withColumn("_rn", F.row_number().over(w))
+
+    def clone(id_off: int, ts_off: int, val):
+        fields = []
+        for c in cols:
+            if c == "event_id":
+                fields.append((F.col(c) + id_off).alias(c))
+            elif c == "ts":
+                fields.append(
+                    (F.col(c) + F.expr(f"INTERVAL {ts_off} SECONDS")).alias(c))
+            elif c == "value":
+                fields.append(val.alias(c))
+            else:
+                fields.append(F.col(c))
+        return F.struct(*fields)
+
+    orig = F.struct(*[F.col(c) for c in cols])
+    spikes = [clone(1_000_000_000, 60, F.lit(float(value)))]
+    if pair:
+        spikes.append(clone(2_000_000_000, 120, F.col("value")))
+    sel = F.col("_rn") == 1
+    if mod is not None:
+        sel = sel & (F.col(per) % mod == 0)
+    return e2.select(
+        F.explode(F.when(sel, F.array(orig, *spikes))
+                  .otherwise(F.array(orig))).alias("r")
+    ).select("r.*")
+
+
+def _emb_planted(spark, sf_dir, n_feats: int):
+    """embeddings projected to its first ``n_feats`` coordinates plus a
+    gross clone (vec_id + 100000, features alternating +-1e6) for each
+    vec_id < 5 — the planted set both engines enumerate exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = [F.element_at(F.col("embedding"), i + 1).cast("double")
+             .alias(f"f{i}") for i in range(n_feats)]
+    base = emb.select("vec_id", "label", *feats)
+    orig = F.struct(*[F.col(c) for c in base.columns])
+    clone = F.struct(
+        (F.col("vec_id") + 100_000).alias("vec_id"), F.col("label"),
+        *[F.lit(1e6 if i % 2 == 0 else -1e6).alias(f"f{i}")
+          for i in range(n_feats)],
+    )
+    return base.select(
+        F.explode(F.when(F.col("vec_id") < 5, F.array(orig, clone))
+                  .otherwise(F.array(orig))).alias("r")
+    ).select("r.*")
+
+
+def _invariant_split(out, planted_pred):
+    """Materialize a scored frame ONCE (localCheckpoint — the planted
+    filter and the inlier-rate aggregate must not each recompute the
+    model scan; PLANS.md self-join rule) and return (planted, inliers)."""
+    out = out.localCheckpoint(eager=True)
+    return out.filter(planted_pred), out.filter(~planted_pred)
+
+
+# ---------------------------------------------------------------------------
 # 1. flagship pricing summary (classic scan→filter→agg shape)
 # ---------------------------------------------------------------------------
 
@@ -191,14 +277,22 @@ FROM w
 """
 
 
-def q_percentile_check_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.windowed import percentile_check
-
-    out = percentile_check(
-        _events(spark, sf_dir), "user_id", "ts", "value",
-        buff_size=20, percentile=95.0,
+def q_robust_window_suite_events(spark, sf_dir) -> DataFrame:
+    """Both robust-window checks CHAINED on one frame (round-4 merge):
+    percentile-band and Hampel median/MAD — column-preserving ops over
+    the same (user_id, ts) window partitioning: one scan, one shuffle."""
+    from anomaly_detection_spark.operators.windowed import (
+        hampel, percentile_check,
     )
-    return out.select("event_id", "code")
+
+    e = percentile_check(
+        _events(spark, sf_dir), "user_id", "ts", "value",
+        buff_size=20, percentile=95.0, out="code_pctl",
+    )
+    e = hampel(e, "user_id", "ts", "value", W=3,
+               out="code_hampel", suggested="suggested")
+    return e.select("event_id", "code_pctl", "code_hampel",
+                    F.round("suggested", 6).alias("suggested"))
 
 
 SQL_PERCENTILE = f"""
@@ -212,16 +306,6 @@ SELECT event_id,
        CASE WHEN c < 20 THEN 2 WHEN value > hi + 1e-9 OR value < lo - 1e-9 THEN -1 ELSE 1 END AS code
 FROM w
 """
-
-
-def q_hampel_check_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.windowed import hampel
-
-    out = hampel(
-        _events(spark, sf_dir), "user_id", "ts", "value", W=3,
-        suggested="suggested",
-    )
-    return out.select("event_id", "code", F.round("suggested", 6).alias("suggested"))
 
 
 SQL_HAMPEL = f"""
@@ -243,14 +327,32 @@ FROM m
 """
 
 
-def q_linear_fit_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.windowed import linear_fit_check
+SQL_ROBUST_WINDOW_SUITE = f"""
+WITH a AS ({SQL_PERCENTILE}), b AS ({SQL_HAMPEL})
+SELECT a.event_id, a.code AS code_pctl, b.code AS code_hampel, b.suggested
+FROM a JOIN b ON a.event_id = b.event_id
+"""
 
-    out = linear_fit_check(
-        _events(spark, sf_dir), "user_id", "ts", "value", N=10,
-        LL=-50.0, UL=50.0, warning_stages=(0.5,),
+
+def q_trend_suite_events(spark, sf_dir) -> DataFrame:
+    """Both slope-based trend checks CHAINED on one frame (round-4
+    merge): bounded-frame OLS slope border check and the sign-of-slope
+    convolution classifier — same (user_id, ts) partitioning, one scan
+    + one shuffle."""
+    from anomaly_detection_spark.operators.windowed import (
+        linear_fit_check, trend_classification_check,
     )
-    return out.select("event_id", "code")
+
+    e = linear_fit_check(
+        _events(spark, sf_dir), "user_id", "ts", "value", N=10,
+        LL=-50.0, UL=50.0, warning_stages=(0.5,), out="code_linfit",
+    )
+    e = trend_classification_check(
+        e, "user_id", "ts", "value",
+        N=10, conv=3, LL=-1.0, UL=1.0, warning_stages=(0.5,),
+        out="code_trend",
+    )
+    return e.select("event_id", "code_linfit", "code_trend")
 
 
 SQL_LINEAR_FIT = f"""
@@ -472,52 +574,79 @@ FROM events GROUP BY event_type
 """
 
 
-def q_duplicate_orderkeys(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.integrity import duplicate_keys
-
-    li = load_table(spark, sf_dir, "lineitem")
-    return duplicate_keys(li, ["l_orderkey"])
-
-
-SQL_DUP_ORDERKEYS = """
-SELECT l_orderkey, count(*) AS dup_count
-FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
-"""
-
-
-def q_referential_orders_customer(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.integrity import referential_violations
-
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    return referential_violations(o, "o_custkey", c, "c_custkey").select(
-        "o_orderkey", "o_custkey"
-    )
+def _planted_fk(df, key_col: str, id_col: str, sel_max: int):
+    """Clone rows with ``id_col < sel_max`` under a negated (absent)
+    foreign key and an offset id — deterministic referential violations
+    both engines enumerate. Single scan (explode, no union self-scan)."""
+    cols = df.columns
+    orig = F.struct(*[F.col(c) for c in cols])
+    bad = F.struct(*[
+        (F.col(c) + 1_000_000_000).alias(c) if c == id_col
+        else (-F.col(c) - 1).alias(c) if c == key_col
+        else F.col(c)
+        for c in cols
+    ])
+    return df.select(
+        F.explode(F.when(F.col(id_col) < sel_max, F.array(orig, bad))
+                  .otherwise(F.array(orig))).alias("r")
+    ).select("r.*")
 
 
-SQL_REF_ORDERS = """
-SELECT o_orderkey, o_custkey FROM orders
-WHERE o_custkey IS NULL
-   OR o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
-"""
-
-
-def q_referential_lineitem_part_bloom(spark, sf_dir) -> DataFrame:
+def q_integrity_suite(spark, sf_dir) -> DataFrame:
+    """All three §2.6 integrity operators in one suite (round-4 merge):
+    salted two-level uniqueness, exact broadcast-anti referential, and
+    Bloom-prefiltered referential — with PLANTED violations (negated
+    foreign keys on cloned rows) so every check's violation set is
+    non-trivial and exactly enumerable by both engines. Output
+    (check, k1, k2) unions the three verdict families."""
     from anomaly_detection_spark.operators.integrity import (
-        referential_violations_bloom,
+        duplicate_keys, referential_violations, referential_violations_bloom,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
+    dups = duplicate_keys(li, ["l_orderkey"]).select(
+        F.lit("dup_orderkey").alias("check_name"),
+        F.col("l_orderkey").alias("k1"), F.col("dup_count").alias("k2"))
+
+    o = _planted_fk(load_table(spark, sf_dir, "orders"),
+                    "o_custkey", "o_orderkey", 100)
+    c = load_table(spark, sf_dir, "customer")
+    ref_o = referential_violations(o, "o_custkey", c, "c_custkey").select(
+        F.lit("ref_orders_custkey").alias("check_name"),
+        F.col("o_orderkey").alias("k1"), F.col("o_custkey").alias("k2"))
+
+    li_p = _planted_fk(li, "l_partkey", "l_orderkey", 100)
     p = load_table(spark, sf_dir, "part")
-    return referential_violations_bloom(
-        spark, li, "l_partkey", p, "p_partkey"
-    ).select("l_orderkey", "l_linenumber", "l_partkey")
+    ref_l = referential_violations_bloom(
+        spark, li_p, "l_partkey", p, "p_partkey"
+    ).select(
+        F.lit("ref_lineitem_partkey").alias("check_name"),
+        F.col("l_orderkey").alias("k1"), F.col("l_partkey").alias("k2"))
+
+    return dups.unionByName(ref_o).unionByName(ref_l)
 
 
-SQL_REF_LINEITEM = """
-SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+SQL_INTEGRITY_SUITE = """
+SELECT 'dup_orderkey' AS check_name, l_orderkey AS k1, count(*) AS k2
+FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+UNION ALL
+SELECT 'ref_orders_custkey', o_orderkey, o_custkey FROM (
+  SELECT o_orderkey, o_custkey FROM orders
+  UNION ALL
+  SELECT o_orderkey + 1000000000, -o_custkey - 1
+  FROM orders WHERE o_orderkey < 100) u
+WHERE o_custkey IS NULL
+   OR o_custkey NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_custkey IS NOT NULL)
+UNION ALL
+SELECT 'ref_lineitem_partkey', l_orderkey, l_partkey FROM (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  UNION ALL
+  SELECT l_orderkey + 1000000000, -l_partkey - 1
+  FROM lineitem WHERE l_orderkey < 100) u
 WHERE l_partkey IS NULL
-   OR l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)
+   OR l_partkey NOT IN (SELECT p_partkey FROM part
+                        WHERE p_partkey IS NOT NULL)
 """
 
 
@@ -656,72 +785,136 @@ SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 5
 """
 
 
-def q_psi_lang_documents(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.drift import psi_categorical
+def q_drift_suite(spark, sf_dir) -> DataFrame:
+    """Every slice-level drift operator in one suite (round-4 merge):
+    categorical PSI (global lang mix), per-group categorical PSI (lang
+    mix per source), numeric PSI (event-value histogram), and the
+    windowed-Welford partition-mean drift — one row per (metric, group)
+    with the drift statistic and verdict. Splits are max(id)/2 (exact,
+    distributed, identical in both engines — replacing the former exact
+    percentile() split whose single-reducer buffer was a memory wall at
+    100x sf, VERDICT r3 #6)."""
+    from anomaly_detection_spark.operators.drift import (
+        partition_stat_drift, psi_categorical, psi_categorical_by_group,
+        psi_numeric,
+    )
+
+    def code(c):
+        return F.when(c > 0.25, F.lit(-1)).when(c > 0.1, F.lit(0)) \
+                .otherwise(F.lit(1))
 
     d = _docs(spark, sf_dir)
-    half = d.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
-    base = d.filter(F.col("doc_id") <= half)
-    cur = d.filter(F.col("doc_id") > half)
-    return psi_categorical(base, cur, "lang").select(
-        F.round("psi", 6).alias("psi")
-    )
+    dh = d.agg(F.max("doc_id")).first()[0] // 2
+    base_d, cur_d = d.filter(F.col("doc_id") <= dh), d.filter(F.col("doc_id") > dh)
+    lang = psi_categorical(base_d, cur_d, "lang").select(
+        F.lit("lang_psi").alias("metric"), F.lit("_all_").alias("grp"),
+        F.round("psi", 6).alias("stat"), code(F.col("psi")).alias("code"))
+    bysrc = psi_categorical_by_group(base_d, cur_d, "source", "lang").select(
+        F.lit("source_lang_psi").alias("metric"), F.col("source").alias("grp"),
+        F.round("psi", 6).alias("stat"), F.col("code"))
+
+    e = _events(spark, sf_dir)
+    eh = e.agg(F.max("event_id")).first()[0] // 2
+    num = psi_numeric(
+        e.filter(F.col("event_id") <= eh), e.filter(F.col("event_id") > eh),
+        "value", lo=0.0, hi=500.0, n_bins=10,
+    ).select(
+        F.lit("value_psi").alias("metric"), F.lit("_all_").alias("grp"),
+        F.round("psi", 6).alias("stat"), code(F.col("psi")).alias("code"))
+    pdrift = partition_stat_drift(
+        e.withColumn("day", F.date_trunc("day", "ts").cast("date")
+                     .cast("string")),
+        "day", "value", N=5, X=3.0,
+    ).select(
+        F.lit("day_mean_welford").alias("metric"), F.col("day").alias("grp"),
+        F.round("part_mean", 6).alias("stat"), "code")
+    return lang.unionByName(bysrc).unionByName(num).unionByName(pdrift)
 
 
-SQL_PSI_LANG = """
-WITH h AS (SELECT quantile_cont(doc_id, 0.5) AS m FROM documents),
-b AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cb FROM documents, h
-      WHERE doc_id <= m GROUP BY lang),
-c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cc FROM documents, h
-      WHERE doc_id > m GROUP BY lang),
-j AS (SELECT coalesce(b.lang, c.lang) AS lang,
-             coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
-      FROM b FULL OUTER JOIN c ON b.lang = c.lang),
-t AS (SELECT greatest(cb / sum(cb) OVER (), 1e-6) AS p,
-             greatest(cc / sum(cc) OVER (), 1e-6) AS q
-      FROM j)
-SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM t
-"""
+_PSI_CODE = "CASE WHEN {x} > 0.25 THEN -1 WHEN {x} > 0.1 THEN 0 ELSE 1 END"
 
-
-def q_partition_drift_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.drift import partition_stat_drift
-
-    e = _events(spark, sf_dir).withColumn(
-        "day", F.date_trunc("day", "ts").cast("date").cast("string")
-    )
-    out = partition_stat_drift(e, "day", "value", N=5, X=3.0)
-    return out.select("day", F.round("part_mean", 6).alias("part_mean"), "code")
-
-
-SQL_PARTITION_DRIFT = f"""
-WITH p AS (
+SQL_DRIFT_SUITE = f"""
+WITH dh AS (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS m FROM documents),
+lb AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cb FROM documents, dh
+       WHERE doc_id <= m GROUP BY lang),
+lc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cc FROM documents, dh
+       WHERE doc_id > m GROUP BY lang),
+lj AS (SELECT coalesce(lb.lang, lc.lang) AS lang,
+              coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+       FROM lb FULL OUTER JOIN lc ON lb.lang = lc.lang),
+lt AS (SELECT greatest(cb / sum(cb) OVER (), 1e-6) AS p,
+              greatest(cc / sum(cc) OVER (), 1e-6) AS q FROM lj),
+lpsi AS (SELECT sum((p - q) * ln(p / q)) AS psi FROM lt),
+sb AS (SELECT source AS g, lang AS cat, CAST(count(*) AS DOUBLE) AS cb
+       FROM documents, dh WHERE doc_id <= m GROUP BY 1, 2),
+sc AS (SELECT source AS g, lang AS cat, CAST(count(*) AS DOUBLE) AS cc
+       FROM documents, dh WHERE doc_id > m GROUP BY 1, 2),
+sj AS (SELECT coalesce(sb.g, sc.g) AS g, coalesce(sb.cat, sc.cat) AS cat,
+              coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+       FROM sb FULL OUTER JOIN sc ON sb.g = sc.g AND sb.cat = sc.cat),
+st AS (SELECT g,
+              greatest(cb / sum(cb) OVER (PARTITION BY g), 1e-6) AS p,
+              greatest(cc / sum(cc) OVER (PARTITION BY g), 1e-6) AS q
+       FROM sj),
+spsi AS (SELECT g, sum((p - q) * ln(p / q)) AS psi FROM st GROUP BY g),
+eh AS (SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) AS m FROM events),
+binned AS (
+  SELECT CASE WHEN event_id <= (SELECT m FROM eh) THEN 'b' ELSE 'c' END AS side,
+         least(greatest(CAST(floor((value - 0.0) / 50.0) AS INT), 0), 9) AS bin
+  FROM events),
+fb AS (SELECT bin, CAST(count(*) AS DOUBLE) AS cb FROM binned WHERE side = 'b' GROUP BY bin),
+fc AS (SELECT bin, CAST(count(*) AS DOUBLE) AS cc FROM binned WHERE side = 'c' GROUP BY bin),
+nj AS (SELECT coalesce(fb.bin, fc.bin) AS bin, coalesce(cb, 0) AS cb,
+              coalesce(cc, 0) AS cc
+       FROM fb FULL OUTER JOIN fc ON fb.bin = fc.bin),
+nt AS (SELECT greatest(cb / sum(cb) OVER (), 1e-6) AS p,
+              greatest(cc / sum(cc) OVER (), 1e-6) AS q FROM nj),
+npsi AS (SELECT sum((p - q) * ln(p / q)) AS psi FROM nt),
+pp AS (
   SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
          avg(value) AS part_mean
   FROM events GROUP BY 1),
-w AS (
+pw AS (
   SELECT day, part_mean,
          row_number() OVER (ORDER BY day) AS rn,
          avg(part_mean) OVER (ORDER BY day ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS m,
          stddev_samp(part_mean) OVER (ORDER BY day ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS s
-  FROM p)
-SELECT day, round(part_mean, 6) AS part_mean,
+  FROM pp)
+SELECT 'lang_psi' AS metric, '_all_' AS grp, round(psi, 6) AS stat,
+       {_PSI_CODE.format(x='psi')} AS code FROM lpsi
+UNION ALL
+SELECT 'source_lang_psi', g, round(psi, 6), {_PSI_CODE.format(x='psi')}
+FROM spsi
+UNION ALL
+SELECT 'value_psi', '_all_', round(psi, 6), {_PSI_CODE.format(x='psi')}
+FROM npsi
+UNION ALL
+SELECT 'day_mean_welford', day, round(part_mean, 6),
        CASE WHEN rn <= 5 THEN 2
-            ELSE {ladder_code_sql("((part_mean - m) / (3.0 * s))", ())} END AS code
-FROM w
+            ELSE {ladder_code_sql("((part_mean - m) / (3.0 * s))", ())} END
+FROM pw
 """
 
 
 def q_shift_avg_time_features_events(spark, sf_dir) -> DataFrame:
+    """All four §2.3 construction operators CHAINED on one frame (round 4
+    folds periodic_average in): shift, rolling average, seasonal-lag
+    periodic average, and calendar features — each a column-preserving
+    withColumn over the same (user_id, ts) window partitioning, so the
+    plan stays one scan + one shuffle."""
     from anomaly_detection_spark.operators.windowed import (
-        average_features, shift_features, time_features,
+        average_features, periodic_average_features, shift_features,
+        time_features,
     )
 
     e = _events(spark, sf_dir)
     out = time_features(
-        average_features(
-            shift_features(e, "user_id", "ts", "value", [1, 2]),
-            "user_id", "ts", "value", [3],
+        periodic_average_features(
+            average_features(
+                shift_features(e, "user_id", "ts", "value", [1, 2]),
+                "user_id", "ts", "value", [3],
+            ),
+            "user_id", "ts", "value", period=3, counts=[2],
         ),
         "ts", ("month", "day", "weekday", "hour"),
     )
@@ -729,6 +922,7 @@ def q_shift_avg_time_features_events(spark, sf_dir) -> DataFrame:
         "event_id",
         F.round("shift_1", 6).alias("lag1"), F.round("shift_2", 6).alias("lag2"),
         F.round("avg_3", 6).alias("avg3"),
+        F.round("pavg_3_2", 6).alias("pavg"),
         "tf_month", "tf_day", "tf_weekday", "tf_hour",
     )
 
@@ -738,6 +932,7 @@ SELECT event_id,
        round(lag(value, 1) OVER ({_W_USER}), 6) AS lag1,
        round(lag(value, 2) OVER ({_W_USER}), 6) AS lag2,
        round(avg(value) OVER ({_W_USER} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3,
+       round((value + lag(value, 3) OVER ({_W_USER})) / 2, 6) AS pavg,
        CAST(month(ts) AS INT) AS tf_month,
        CAST(day(ts) AS INT) AS tf_day,
        CAST(isodow(ts) - 1 AS INT) AS tf_weekday,
@@ -767,33 +962,59 @@ def q_filtering_check_events(spark, sf_dir) -> DataFrame:
 
 
 def q_iforest_embeddings(spark, sf_dir) -> DataFrame:
+    """IsolationForest with a planted-invariant oracle (round 4): gross
+    +-1e6 clones of vec_id < 5 MUST be flagged by the seeded per-label
+    forest (subsample 256 >= every driver-sf group, so each planted row
+    is in every tree's training set and isolates in O(1) splits), and the
+    inlier flag rate stays within contamination + slack (measured
+    0.018-0.019 across sf0.001-0.1; asserted <= 0.04). Both engines
+    enumerate the planted keys; the oracle asserts literal TRUE."""
     from anomaly_detection_spark.operators.mvoutlier import iforest_check
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label",
-        F.element_at(F.col("embedding"), 1).cast("double").alias("f1"),
-        F.element_at(F.col("embedding"), 2).cast("double").alias("f2"),
-        F.aggregate(F.col("embedding").cast("array<double>"), F.lit(0.0),
-                    lambda a, x: a + x * x).alias("f_norm2"),
-    )
-    return iforest_check(
-        emb, "label", ["f1", "f2", "f_norm2"], contamination=0.02,
-        extra_cols=["vec_id"], n_trees=50, subsample=128,
-    ).select("vec_id", "label", F.round("score", 6).alias("score"), "code")
+    emb = _emb_planted(spark, sf_dir, 3)
+    out = iforest_check(
+        emb, "label", ["f0", "f1", "f2"], contamination=0.02,
+        extra_cols=["vec_id"], n_trees=50, subsample=256,
+    ).select("vec_id", "code")
+    planted, inliers = _invariant_split(out, F.col("vec_id") >= 100_000)
+    fp = inliers.agg(
+        (F.avg((F.col("code") == -1).cast("double")) <= 0.04).alias("fp_ok"))
+    return planted.crossJoin(F.broadcast(fp)).select(
+        "vec_id", (F.col("code") == -1).alias("planted_flagged"), "fp_ok")
+
+
+SQL_IFOREST_PLANTED = """
+SELECT vec_id + 100000 AS vec_id, TRUE AS planted_flagged, TRUE AS fp_ok
+FROM embeddings WHERE vec_id < 5
+"""
 
 
 def q_image_features_media(spark, sf_dir) -> DataFrame:
+    """Multimodal decode plumbing with a derived-invariant oracle (round
+    4): the stub decoder is pinned (deterministic tiled-byte fake
+    regardless of codec availability), so for every synthetic blob the
+    claims are exact — decode succeeds, the feature vector is the full
+    12-dim color-stat block, and every channel statistic lands in the
+    uint8 range. The oracle enumerates the same 128 media ids."""
     from anomaly_detection_spark.functions.multimodal import (
         image_features, synth_media,
     )
 
     media = synth_media(spark, 128, kind="image", blob_bytes=2048)
-    out = image_features(media, resize_to=16)
+    out = image_features(media, resize_to=16, decoder="stub")
     return out.select(
         "media_id", "decode_ok",
-        F.round(F.element_at("features", 1), 6).alias("mean_r"),
         F.size("features").alias("n_features"),
+        (F.array_min("features") >= -1e-9).alias("feats_lo_ok"),
+        (F.array_max("features") <= 255.0 + 1e-9).alias("feats_hi_ok"),
     )
+
+
+SQL_IMAGE_FEATURES = """
+SELECT CAST(unnest(generate_series(0, 127)) AS BIGINT) AS media_id,
+       TRUE AS decode_ok, 12 AS n_features,
+       TRUE AS feats_lo_ok, TRUE AS feats_hi_ok
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -806,31 +1027,26 @@ REGISTRY: dict[str, tuple] = {
     "constraint_suite_documents": (q_constraint_suite_documents, SQL_CONSTRAINT_DOCS),
     "constraint_check_events": (q_constraint_check_events, SQL_CONSTRAINT_EVENTS),
     "border_summary_lineitem": (q_border_summary_lineitem, SQL_BORDER_LINEITEM),
-    "percentile_check_events": (q_percentile_check_events, SQL_PERCENTILE),
-    "hampel_check_events": (q_hampel_check_events, SQL_HAMPEL),
-    "linear_fit_events": (q_linear_fit_events, SQL_LINEAR_FIT),
+    "robust_window_suite_events": (q_robust_window_suite_events,
+                                   SQL_ROBUST_WINDOW_SUITE),
     "percent_score_events": (q_percent_score_events, SQL_PERCENT_SCORE),
     "column_stats_documents": (q_column_stats_documents, SQL_COLUMN_STATS_DOCS),
     "salted_stats_lineitem": (q_salted_stats_lineitem, SQL_SALTED_STATS),
     "welford_profile_events": (q_welford_profile_events, SQL_WELFORD_PROFILE),
-    "duplicate_orderkeys": (q_duplicate_orderkeys, SQL_DUP_ORDERKEYS),
-    "referential_orders_customer": (q_referential_orders_customer, SQL_REF_ORDERS),
-    "referential_lineitem_part_bloom": (q_referential_lineitem_part_bloom, SQL_REF_LINEITEM),
+    "integrity_suite_lineitem_orders": (q_integrity_suite, SQL_INTEGRITY_SUITE),
     "exact_duplicates_documents": (q_exact_duplicates_documents, SQL_EXACT_DUP_DOCS),
     "lang_id_documents": (q_lang_id_documents, SQL_LANG_ID),
     "fingerprint_documents": (q_fingerprint_documents, SQL_FINGERPRINT),
     "cosine_topk_embeddings": (q_cosine_topk_embeddings, SQL_COSINE_TOPK),
-    "psi_lang_documents": (q_psi_lang_documents, SQL_PSI_LANG),
-    "partition_drift_events": (q_partition_drift_events, SQL_PARTITION_DRIFT),
+    "drift_suite": (q_drift_suite, SQL_DRIFT_SUITE),
     "shift_avg_time_features_events": (q_shift_avg_time_features_events, SQL_SHIFT_AVG_TIME),
-    # rows-only (non-SQL-expressible: approx, hash-specific, or stateful).
-    # The LSH/ANN family (minhash/simhash/lsh_topk/ivf_topk) and the full
-    # curation pipeline are registered in the round-3 section below with
-    # derived-invariant oracles.
+    # rows-only (hash-specific signature output; the operator's pair
+    # semantics are oracle-backed via simhash_near_dup_documents)
     "simhash_signatures_documents": (q_simhash_signatures_documents, None),
     "filtering_check_events": (q_filtering_check_events, None),
-    "iforest_embeddings": (q_iforest_embeddings, None),
-    "image_features_media": (q_image_features_media, None),
+    # round-4 planted-invariant conversions (formerly rows-only)
+    "iforest_embeddings": (q_iforest_embeddings, SQL_IFOREST_PLANTED),
+    "image_features_media": (q_image_features_media, SQL_IMAGE_FEATURES),
 }
 
 
@@ -933,18 +1149,6 @@ FROM t
 """
 
 
-def q_trend_classification_events(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.operators.windowed import (
-        trend_classification_check,
-    )
-
-    out = trend_classification_check(
-        _events(spark, sf_dir), "user_id", "ts", "value",
-        N=10, conv=3, LL=-1.0, UL=1.0, warning_stages=(0.5,),
-    )
-    return out.select("event_id", "code")
-
-
 SQL_TREND_CLASS = f"""
 WITH x AS (
   SELECT event_id, user_id, ts, value,
@@ -1032,26 +1236,39 @@ FROM mind
 
 
 def q_pca_iforest_embeddings(spark, sf_dir) -> DataFrame:
+    """PCA(3)->iForest with a planted-invariant oracle (round 4): gross
+    8-dim +-1e6 clones of vec_id < 5 dominate the per-group PCA basis, so
+    their projections are extreme in PC1 and the seeded forest (subsample
+    256 >= every driver-sf group — each planted row is in every tree's
+    training set) must flag them; inlier flag rate <= 0.04 (measured
+    0.018-0.020 across sf0.001-0.1)."""
     from anomaly_detection_spark.operators.mvoutlier import pca_iforest_check
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ).select(
-        "vec_id", "label",
-        *[F.element_at("v", i + 1).alias(f"f{i}") for i in range(8)],
-    )
-    return pca_iforest_check(
+    emb = _emb_planted(spark, sf_dir, 8)
+    out = pca_iforest_check(
         emb, "label", [f"f{i}" for i in range(8)], n_components=3,
-        contamination=0.02, extra_cols=["vec_id"], n_trees=50, subsample=64,
-    ).select("vec_id", "label", F.round("score", 6).alias("score"), "code")
+        contamination=0.02, extra_cols=["vec_id"], n_trees=50, subsample=256,
+    ).select("vec_id", "code")
+    planted, inliers = _invariant_split(out, F.col("vec_id") >= 100_000)
+    fp = inliers.agg(
+        (F.avg((F.col("code") == -1).cast("double")) <= 0.04).alias("fp_ok"))
+    return planted.crossJoin(F.broadcast(fp)).select(
+        "vec_id", (F.col("code") == -1).alias("planted_flagged"), "fp_ok")
+
+
+SQL_TREND_SUITE = f"""
+WITH a AS ({SQL_LINEAR_FIT}), b AS ({SQL_TREND_CLASS})
+SELECT a.event_id, a.code AS code_linfit, b.code AS code_trend
+FROM a JOIN b ON a.event_id = b.event_id
+"""
 
 
 REGISTRY.update({
     "asof_band_check_events": (q_asof_band_check_events, SQL_ASOF_BAND),
     "time_averages_events": (q_time_averages_events, SQL_TIME_AVERAGES),
-    "trend_classification_events": (q_trend_classification_events, SQL_TREND_CLASS),
+    "trend_suite_events": (q_trend_suite_events, SQL_TREND_SUITE),
     "clustering_embeddings": (q_clustering_embeddings, SQL_CLUSTERING),
-    "pca_iforest_embeddings": (q_pca_iforest_embeddings, None),
+    "pca_iforest_embeddings": (q_pca_iforest_embeddings, SQL_IFOREST_PLANTED),
 })
 
 
@@ -1106,23 +1323,14 @@ FROM checked GROUP BY source
 """
 
 
-def q_hll_distinct_events(spark, sf_dir) -> DataFrame:
-    """Explicit mergeable-HLL sketch path (mapInPandas partials +
-    register max-merge); rows-only — the estimate is approximate by
-    construction so no exact oracle exists."""
-    from anomaly_detection_spark.operators.stats import hll_distinct
-
-    out = hll_distinct(_events(spark, sf_dir), "user_id", "event_type")
-    return out.select(
-        F.col("part_key").alias("event_type"),
-        F.round("n_distinct_approx", 2).alias("n_distinct_approx"),
-    )
-
+# (round 4: the former hll_distinct_events rows-only query was dropped —
+# redundant with the oracle-backed hll_accuracy_events, which drives the
+# same stats.hll_distinct operator and additionally asserts the estimate
+# lands inside the p=12 error band; VERDICT r3 #7.)
 
 REGISTRY.update({
     "partition_verdicts_documents": (q_partition_verdicts_documents,
                                      SQL_PARTITION_VERDICTS),
-    "hll_distinct_events": (q_hll_distinct_events, None),
 })
 
 
@@ -1271,161 +1479,137 @@ REGISTRY.update({
 })
 
 
-def q_psi_by_source_documents(spark, sf_dir) -> DataFrame:
-    """Per-source language-mix drift: first vs second half of each source's
-    documents (PSI per group with drift verdicts)."""
-    from anomaly_detection_spark.operators.drift import psi_categorical_by_group
-
-    d = _docs(spark, sf_dir)
-    half = d.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
-    out = psi_categorical_by_group(
-        d.filter(F.col("doc_id") <= half), d.filter(F.col("doc_id") > half),
-        "source", "lang",
-    )
-    return out.select("source", F.round("psi", 6).alias("psi"), "code")
-
-
-SQL_PSI_BY_SOURCE = """
-WITH h AS (SELECT quantile_cont(doc_id, 0.5) AS m FROM documents),
-b AS (SELECT source AS g, lang AS cat, CAST(count(*) AS DOUBLE) AS cb
-      FROM documents, h WHERE doc_id <= m GROUP BY 1, 2),
-c AS (SELECT source AS g, lang AS cat, CAST(count(*) AS DOUBLE) AS cc
-      FROM documents, h WHERE doc_id > m GROUP BY 1, 2),
-j AS (SELECT coalesce(b.g, c.g) AS g, coalesce(b.cat, c.cat) AS cat,
-             coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
-      FROM b FULL OUTER JOIN c ON b.g = c.g AND b.cat = c.cat),
-t AS (SELECT g,
-             greatest(cb / sum(cb) OVER (PARTITION BY g), 1e-6) AS p,
-             greatest(cc / sum(cc) OVER (PARTITION BY g), 1e-6) AS q
-      FROM j),
-s AS (SELECT g, sum((p - q) * ln(p / q)) AS psi FROM t GROUP BY g)
-SELECT g AS source, round(psi, 6) AS psi,
-       CASE WHEN psi > 0.25 THEN -1 WHEN psi > 0.1 THEN 0 ELSE 1 END AS code
-FROM s
-"""
-
-
-REGISTRY.update({
-    "psi_by_source_documents": (q_psi_by_source_documents, SQL_PSI_BY_SOURCE),
-})
-
-
-def q_psi_numeric_events(spark, sf_dir) -> DataFrame:
-    """Numeric-distribution drift: PSI of the event-value distribution,
-    first vs second half of the time range, over fixed equi-width bins."""
-    from anomaly_detection_spark.operators.drift import psi_numeric
-
-    e = _events(spark, sf_dir)
-    mid = e.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
-    base = e.filter(F.unix_timestamp("ts") <= mid)
-    cur = e.filter(F.unix_timestamp("ts") > mid)
-    return psi_numeric(base, cur, "value", lo=0.0, hi=500.0, n_bins=10) \
-        .select(F.round("psi", 6).alias("psi"))
-
-
-SQL_PSI_NUMERIC = """
-WITH h AS (SELECT quantile_cont(floor(epoch(ts)), 0.5) AS m FROM events),
-binned AS (
-  SELECT CASE WHEN floor(epoch(ts)) <= (SELECT m FROM h) THEN 'b' ELSE 'c' END AS side,
-         least(greatest(CAST(floor((value - 0.0) / 50.0) AS INT), 0), 9) AS bin
-  FROM events),
-fb AS (SELECT bin, CAST(count(*) AS DOUBLE) AS cb FROM binned WHERE side = 'b' GROUP BY bin),
-fc AS (SELECT bin, CAST(count(*) AS DOUBLE) AS cc FROM binned WHERE side = 'c' GROUP BY bin),
-j AS (SELECT coalesce(fb.bin, fc.bin) AS bin, coalesce(cb, 0) AS cb,
-             coalesce(cc, 0) AS cc
-      FROM fb FULL OUTER JOIN fc ON fb.bin = fc.bin),
-t AS (SELECT greatest(cb / sum(cb) OVER (), 1e-6) AS p,
-             greatest(cc / sum(cc) OVER (), 1e-6) AS q FROM j)
-SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM t
-"""
-
-
-REGISTRY.update({
-    "psi_numeric_events": (q_psi_numeric_events, SQL_PSI_NUMERIC),
-})
-
-
-def q_periodic_avg_events(spark, sf_dir) -> DataFrame:
-    """Seasonal-lag means (anomaly_detection.py:348-382): mean of every
-    3rd past sample, 2 samples; NULL while lags are incomplete."""
-    from anomaly_detection_spark.operators.windowed import (
-        periodic_average_features,
-    )
-
-    out = periodic_average_features(
-        _events(spark, sf_dir), "user_id", "ts", "value",
-        period=3, counts=[2],
-    )
-    return out.select("event_id", F.round("pavg_3_2", 6).alias("pavg"))
-
-
-SQL_PERIODIC_AVG = f"""
-SELECT event_id,
-       round((value + lag(value, 3) OVER ({_W_USER})) / 2, 6) AS pavg
-FROM events
-"""
-
-
-REGISTRY.update({
-    "periodic_avg_events": (q_periodic_avg_events, SQL_PERIODIC_AVG),
-})
+# (round 4: psi_by_source_documents, psi_numeric_events and the former
+# psi_lang_documents / partition_drift_events are merged into the single
+# oracle-backed drift_suite — see q_drift_suite; periodic_avg_events is
+# folded into shift_avg_time_features_events. The freed driver-window
+# slots carry the planted-invariant conversions below.)
 
 
 def q_recon_drift_events(spark, sf_dir) -> DataFrame:
     """Reconstruction-error drift (linear-autoencoder==PCA form of the
-    reference's GAN check) over per-user 2-feature series: value and its
-    lag (the reference feeds shift-constructed vectors to the AE)."""
+    reference's GAN check) over per-user 2-feature (value, lag) series,
+    with a planted-invariant oracle (round 4): each selected series gets
+    an appended SPIKE PAIR — (5000, prev) then (orig, 5000) in the
+    (value, lag-1) plane, near-orthogonal extremes that no single
+    principal direction can absorb — so whatever 1-D basis the sample
+    SVD picks, at least one of the pair has a gross reconstruction error
+    and must be flagged. Inlier flag rate <= 0.08 (measured 0.011-0.046
+    across sf0.001-0.1)."""
     from anomaly_detection_spark.operators.mvoutlier import recon_drift_check
     from anomaly_detection_spark.operators.windowed import shift_features
 
-    e = shift_features(_events(spark, sf_dir), "user_id", "ts", "value", [1])
+    ev = _events_spiked(spark, sf_dir, per="user_id", mod=4, value=5000.0,
+                        pair=True)
+    e = shift_features(ev, "user_id", "ts", "value", [1])
     e = e.filter(F.col("shift_1").isNotNull())
     out = recon_drift_check(
         spark, e, "user_id", "ts", ["value", "shift_1"],
         n_components=1, K=4.0, len_window=20, extra_cols=("event_id",),
-    )
-    return out.select("event_id", F.round("recon_err", 6).alias("recon_err"),
-                      "code")
+    ).select("user_id", "event_id", "code")
+    planted, inliers = _invariant_split(
+        out, F.col("event_id") >= 1_000_000_000)
+    per_series = planted.groupBy("user_id").agg(
+        F.max((F.col("code") == -1).cast("int")).alias("_any"))
+    fp = inliers.agg(
+        (F.avg((F.col("code") == -1).cast("double")) <= 0.08).alias("fp_ok"))
+    return per_series.crossJoin(F.broadcast(fp)).select(
+        "user_id", (F.col("_any") == 1).alias("pair_flagged"), "fp_ok")
+
+
+SQL_RECON_PLANTED = """
+SELECT DISTINCT user_id, TRUE AS pair_flagged, TRUE AS fp_ok
+FROM events WHERE user_id % 4 = 0
+"""
 
 
 REGISTRY.update({
-    "recon_drift_events": (q_recon_drift_events, None),
+    "recon_drift_events": (q_recon_drift_events, SQL_RECON_PLANTED),
 })
 
 
 def q_codisp_events(spark, sf_dir) -> DataFrame:
-    """RRCF-semantics CoDisp outlier check (batch displacement statistic
-    over random-cut trees) per event-type group on (value, lag) vectors."""
+    """RRCF-semantics batch CoDisp per event-type group on (value, lag)
+    vectors, with a planted-invariant oracle (round 4): each type's
+    appended gross spike pair (1e5-valued) must score above the group's
+    approximate 90th CoDisp percentile (a rank invariant — the batch
+    statistic of an out-of-training-range point varies with the random
+    subsample, so the code threshold itself is not guaranteed; measured
+    planted CoDisp 19.9-86.6 vs p95 9.5-17.5 across sf0.001-0.1), and
+    the group's code-level flag rate stays <= 0.03 (measured <= 0.016)."""
     from anomaly_detection_spark.operators.mvoutlier import codisp_check
     from anomaly_detection_spark.operators.windowed import shift_features
 
-    e = shift_features(_events(spark, sf_dir), "user_id", "ts", "value", [1])
+    ev = _events_spiked(spark, sf_dir, per="event_type", value=100_000.0,
+                        pair=True)
+    e = shift_features(ev, "user_id", "ts", "value", [1])
     e = e.filter(F.col("shift_1").isNotNull())
-    return codisp_check(
+    out = codisp_check(
         e, "event_type", ["value", "shift_1"], threshold=25.0,
         n_trees=50, subsample=128, extra_cols=["event_id"],
-    ).select("event_id", "event_type",
-             F.round("codisp", 6).alias("codisp"), "code")
+    ).select("event_type", "event_id", "codisp", "code")
+    planted, inliers = _invariant_split(
+        out, F.col("event_id") >= 1_000_000_000)
+    stats = inliers.groupBy("event_type").agg(
+        F.expr("approx_percentile(codisp, 0.9)").alias("_p90"),
+        (F.avg((F.col("code") == -1).cast("double")) <= 0.03).alias("fp_ok"))
+    return planted.join(F.broadcast(stats), "event_type").select(
+        "event_type", "event_id",
+        (F.col("codisp") >= F.col("_p90")).alias("above_p90"), "fp_ok")
+
+
+SQL_CODISP_PLANTED = """
+WITH last AS (
+  SELECT event_type, event_id FROM (
+    SELECT event_type, event_id, row_number() OVER
+      (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) t WHERE rn = 1)
+SELECT event_type, event_id + 1000000000 AS event_id,
+       TRUE AS above_p90, TRUE AS fp_ok FROM last
+UNION ALL
+SELECT event_type, event_id + 2000000000 AS event_id,
+       TRUE AS above_p90, TRUE AS fp_ok FROM last
+"""
 
 
 def q_forecast_band_events(spark, sf_dir) -> DataFrame:
     """Prophet-lite seasonal forecast band verdicts per user series
-    (daily seasonality over the hourly-ish event stream)."""
+    (daily seasonality over the hourly-ish event stream), with a
+    planted-invariant oracle (round 4): each selected series' appended
+    gross spike sits sqrt(n) residual-sigmas off the harmonic-OLS fit
+    (the spike inflates sigma by at most |spike|/sqrt(n), and
+    sqrt(n) ~ 8 > z = 4 at the ~66-row driver series), so it must fall
+    outside the band; inlier flag rate <= 0.02 (measured <= 0.003)."""
     from anomaly_detection_spark.operators.forecast import forecast_band_check
 
-    e = _events(spark, sf_dir).withColumn(
-        "tsec", F.unix_timestamp("ts").cast("double")
-    )
+    e = _events_spiked(spark, sf_dir, per="user_id", mod=4, value=5000.0) \
+        .withColumn("tsec", F.unix_timestamp("ts").cast("double"))
     out = forecast_band_check(
         e, "user_id", "tsec", "value", period=86400.0, harmonics=2, z=4.0,
         extra_cols=("event_id",),
-    )
-    return out.select("event_id", F.round("yhat", 6).alias("yhat"), "code")
+    ).select("event_id", "code")
+    planted, inliers = _invariant_split(
+        out, F.col("event_id") >= 1_000_000_000)
+    fp = inliers.agg(
+        (F.avg((F.col("code") == -1).cast("double")) <= 0.02).alias("fp_ok"))
+    return planted.crossJoin(F.broadcast(fp)).select(
+        "event_id", (F.col("code") == -1).alias("planted_flagged"), "fp_ok")
+
+
+SQL_FORECAST_PLANTED = """
+SELECT event_id + 1000000000 AS event_id,
+       TRUE AS planted_flagged, TRUE AS fp_ok
+FROM (
+  SELECT event_id, row_number() OVER
+    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id % 4 = 0) t
+WHERE rn = 1
+"""
 
 
 REGISTRY.update({
-    "codisp_events": (q_codisp_events, None),
-    "forecast_band_events": (q_forecast_band_events, None),
+    "codisp_events": (q_codisp_events, SQL_CODISP_PLANTED),
+    "forecast_band_events": (q_forecast_band_events, SQL_FORECAST_PLANTED),
 })
 
 
@@ -1501,19 +1685,51 @@ WHERE abs((hour(ts) * 3600 + minute(ts) * 60 + second(ts)) * 1000000
 def q_iforest_retrain_events(spark, sf_dir) -> DataFrame:
     """Rolling-retrain iForest (ref isolation_forest.py:158-177): per
     event-type series, refit every 500 rows on the trailing 1000-row
-    buffer; ``epoch`` is the reference's retrain_counter. Rows-only (the
-    forest is seeded-random, not SQL-expressible)."""
+    buffer; ``epoch`` is the reference's retrain_counter. Round-4
+    planted-invariant oracle: each type's appended gross spike (1e5) is
+    the series' last row, so its epoch is exactly derivable from the
+    type's row count — ceil((n+1-1000)/500) past warm-up — and BOTH
+    engines state it; Spark additionally asserts the spike is flagged
+    whenever it falls in a trained epoch (epoch >= 1; at sf0.001 every
+    series is still warm-up and the claim is vacuous on both sides) and
+    that the trained-epoch inlier flag rate stays <= 0.10 (the
+    score>0.6 rule flags ~6.2% of defined rows, measured at
+    sf0.01/0.1)."""
     from anomaly_detection_spark.operators.mvoutlier import (
         iforest_retrain_check,
     )
 
+    ev = _events_spiked(spark, sf_dir, per="event_type", value=100_000.0)
     out = iforest_retrain_check(
-        _events(spark, sf_dir), "event_type", "ts", ["value"],
+        ev, "event_type", "ts", ["value"],
         retrain_interval=500, samples_for_retrain=1000,
         n_trees=50, subsample=128, extra_cols=("event_id",),
-    )
-    return out.select("event_id", "event_type", "epoch",
-                      F.round("score", 6).alias("score"), "code")
+    ).select("event_type", "event_id", "epoch", "code")
+    planted, inliers = _invariant_split(
+        out, F.col("event_id") >= 1_000_000_000)
+    fp = inliers.filter(F.col("epoch") >= 1).agg(
+        F.coalesce(F.avg((F.col("code") == -1).cast("double")) <= 0.10,
+                   F.lit(True)).alias("fp_ok"))
+    return planted.crossJoin(F.broadcast(fp)).select(
+        "event_type", "event_id", "epoch",
+        ((F.col("epoch") == 0) | (F.col("code") == -1)).alias("flagged_ok"),
+        "fp_ok")
+
+
+SQL_IFOREST_RETRAIN_PLANTED = """
+WITH n AS (SELECT event_type, count(*) AS c FROM events GROUP BY event_type),
+last AS (
+  SELECT event_type, event_id FROM (
+    SELECT event_type, event_id, row_number() OVER
+      (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) t WHERE rn = 1)
+SELECT l.event_type, l.event_id + 1000000000 AS event_id,
+       CAST(CASE WHEN n.c + 1 <= 1000 THEN 0
+                 ELSE CAST(ceil((n.c + 1 - 1000) / 500.0) AS INT)
+            END AS INT) AS epoch,
+       TRUE AS flagged_ok, TRUE AS fp_ok
+FROM last l JOIN n ON l.event_type = n.event_type
+"""
 
 
 def _filtering_oracle_sql() -> str:
@@ -1706,30 +1922,52 @@ FROM ep p LEFT JOIN md ON p.event_id = md.event_id
 def q_rrcf_stream_events(spark, sf_dir) -> DataFrame:
     """Streaming RRCF (insert/forget/CoDisp per the published Guha et
     al. construction; the round-2 gap) per user series on (value, lag)
-    vectors. Rows-only: the forest's random cuts are seeded but not
-    SQL-expressible; invariants (window bound, structure, spike
-    detection, forget-undoes-insert) are pytest-covered."""
+    vectors, over a quarter of the series (user_id % 4 — the recurrence
+    is Python-per-row by nature, as in the reference, so the query
+    bounds its wall clock while exercising every series length; the
+    plain modulus replaced round-3's xxhash slice so the oracle can
+    enumerate it). Round-4 planted-invariant oracle: each selected
+    series' appended gross spike (value 5000) arrives as the stream's
+    final insert and its CoDisp must exceed the threshold (measured
+    100% across sf0.001-0.1); inlier flag rate <= 0.05 (measured
+    0.026)."""
     from anomaly_detection_spark.operators.rrcf import rrcf_stream_check
     from anomaly_detection_spark.operators.windowed import shift_features
 
-    e = shift_features(_events(spark, sf_dir), "user_id", "ts", "value", [1])
-    # a quarter of the series (deterministic hash slice): the recurrence
-    # is Python-per-row by nature (as in the reference), so the query
-    # bounds its wall clock while exercising every series length
-    e = e.filter(F.col("shift_1").isNotNull()
-                 & (F.pmod(F.xxhash64("user_id"), F.lit(4)) == 0))
-    return rrcf_stream_check(
+    ev = _events_spiked(spark, sf_dir, per="user_id", mod=4, value=5000.0) \
+        .filter(F.col("user_id") % 4 == 0)
+    e = shift_features(ev, "user_id", "ts", "value", [1])
+    e = e.filter(F.col("shift_1").isNotNull())
+    out = rrcf_stream_check(
         e, "user_id", "ts", ["value", "shift_1"],
         num_trees=8, tree_size=64, threshold=12.0,
         extra_cols=("event_id",),
-    ).select("event_id", "user_id", F.round("codisp", 6).alias("codisp"),
-             "code")
+    ).select("user_id", "event_id", "code")
+    planted, inliers = _invariant_split(
+        out, F.col("event_id") >= 1_000_000_000)
+    fp = inliers.agg(
+        (F.avg((F.col("code") == -1).cast("double")) <= 0.05).alias("fp_ok"))
+    return planted.crossJoin(F.broadcast(fp)).select(
+        "user_id", "event_id",
+        (F.col("code") == -1).alias("planted_flagged"), "fp_ok")
+
+
+SQL_RRCF_PLANTED = """
+SELECT user_id, event_id + 1000000000 AS event_id,
+       TRUE AS planted_flagged, TRUE AS fp_ok
+FROM (
+  SELECT user_id, event_id, row_number() OVER
+    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id % 4 = 0) t
+WHERE rn = 1
+"""
 
 
 REGISTRY.update({
     "time_of_day_events": (q_time_of_day_events, SQL_TIME_OF_DAY),
-    "rrcf_stream_events": (q_rrcf_stream_events, None),
-    "iforest_retrain_events": (q_iforest_retrain_events, None),
+    "rrcf_stream_events": (q_rrcf_stream_events, SQL_RRCF_PLANTED),
+    "iforest_retrain_events": (q_iforest_retrain_events,
+                               SQL_IFOREST_RETRAIN_PLANTED),
     "clustering_retrain_events": (q_clustering_retrain_events,
                                   SQL_CLUSTERING_RETRAIN),
 })
@@ -1803,26 +2041,30 @@ FROM reach GROUP BY id
 
 def q_ks_exact_events(spark, sf_dir) -> DataFrame:
     """Exact two-sample KS between the first and second halves of the
-    event-value stream (the verification path for the t-digest KS
-    sketch): per-distinct-value side counts, range-partitioned prefix
-    cumsums, global max — no single-task sort anywhere."""
-    from anomaly_detection_spark.operators.drift import ks_exact
+    event stream (the verification path for the t-digest KS sketch):
+    per-distinct-value side counts, range-partitioned prefix cumsums via
+    a JVM window, global max — no single-task sort anywhere. The split
+    point is max(event_id)/2 (event_id is ts-ordered), an exact integer
+    both engines compute identically — replacing the former exact
+    percentile(ts) split whose single-reducer buffer was a memory wall
+    at 100x sf (VERDICT r3 #6) and whose extra driver job cost ~0.3s."""
+    from anomaly_detection_spark.operators.drift import ks_exact_tagged
 
     e = _events(spark, sf_dir)
-    mid = e.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
-    base = e.filter(F.unix_timestamp("ts") <= mid)
-    cur = e.filter(F.unix_timestamp("ts") > mid)
-    return ks_exact(base, cur, "value").select(
-        F.round("ks", 6).alias("ks"))
+    h = e.agg(F.max("event_id")).first()[0] // 2
+    tagged = e.select(
+        F.col("value").cast("double").alias("v"),
+        F.when(F.col("event_id") <= h, F.lit(1)).otherwise(F.lit(0)).alias("s"),
+    )
+    return ks_exact_tagged(tagged).select(F.round("ks", 6).alias("ks"))
 
 
 SQL_KS_EXACT = """
-WITH h AS (SELECT quantile_cont(floor(epoch(ts)), 0.5) AS m FROM events),
+WITH h AS (SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) AS m FROM events),
 u AS (
   SELECT CAST(value AS DOUBLE) AS v,
-         CASE WHEN floor(epoch(ts)) <= (SELECT m FROM h)
-              THEN 1 ELSE 0 END AS s
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         CASE WHEN event_id <= (SELECT m FROM h) THEN 1 ELSE 0 END AS s
+  FROM events WHERE value IS NOT NULL),
 d AS (SELECT v, CAST(sum(s) AS DOUBLE) AS db,
              CAST(sum(1 - s) AS DOUBLE) AS dc
       FROM u GROUP BY v),
@@ -2352,25 +2594,20 @@ REGISTRY.update({
 # ---------------------------------------------------------------------------
 
 _ROWS_ONLY_PRIORITY = [
-    "iforest_embeddings",           # multivariate outlier flagship
-    "iforest_retrain_events",       # reference retrain semantics
-    "clustering_retrain_events",    # deterministic retrain (golden-tested)
-    "rrcf_stream_events",           # streaming insert/forget RRCF
+    # round 4: the entire seeded-model family (iforest, retrain, rrcf,
+    # pca, recon, codisp, forecast, multimodal) moved to oracle-backed
+    # planted-invariant queries; the only remaining rows-only query is
+    # the raw simhash signature dump (hash-specific output — its pair
+    # semantics are oracle-backed via simhash_near_dup_documents).
     "simhash_signatures_documents",
-    "pca_iforest_embeddings",
-    "recon_drift_events",
-    "codisp_events",
-    "forecast_band_events",
-    "hll_distinct_events",
-    "image_features_media",
 ]
 
 
 def _reorder(reg: dict) -> dict:
-    # round 3: exactly 50 oracle-backed queries (the 6 merged suites + 5
-    # LSH/ANN derived-invariant conversions brought the count from 51
-    # down to the window size), so every oracle-backed query gets a
-    # driver row and no deprioritization is needed.
+    # round 4: exactly 50 oracle-backed queries (8 slots freed by the
+    # drift/integrity/robust-window/trend/construction merges carry the
+    # 8 planted-invariant conversions), so every oracle-backed query
+    # gets a driver row and no deprioritization is needed.
     oracle = {k: v for k, v in reg.items() if v[1] is not None}
     rows_only = {k: v for k, v in reg.items() if v[1] is None}
     ordered = dict(oracle)

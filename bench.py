@@ -20,49 +20,51 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    # name in anomaly_detection_spark.queries.REGISTRY
+    # name in anomaly_detection_spark.queries.REGISTRY.
+    # Round-4 renames (totals NOT comparable to BENCH_r03; compare
+    # per-query): hampel+percentile -> robust_window_suite_events,
+    # linear_fit+trend_classification -> trend_suite_events,
+    # duplicate_orderkeys+referential_* -> integrity_suite (now with
+    # planted violations), psi family+partition_drift -> drift_suite,
+    # and the seeded-model family queries now ALSO compute their planted
+    # invariant aggregates (extra work inside the same query).
     "flagship_pricing_summary",        # scan -> filter -> hash agg
     "constraint_suite_documents",      # row-level constraint codes
     "border_summary_lineitem",         # ladder expr + agg
     "welford_suite_events",            # window + expanding-window verdicts
-    "hampel_check_events",             # collect_list window + HOFs
+    "robust_window_suite_events",      # percentile windows + hampel HOFs
     "ema_suite_events",                # EMA recurrence + rolling quantile
     "percent_score_events",            # event-time range frame
     "column_stats_documents",          # group stats
     "salted_stats_lineitem",           # two-level salted agg
     "welford_profile_events",          # mapInPandas sketch + merge
-    "duplicate_orderkeys",             # salted uniqueness
-    "referential_lineitem_part_bloom", # bloom + anti join
+    "integrity_suite_lineitem_orders", # salted uniq + anti join + bloom
     "quality_tokens_documents",        # quality features + token counts
     "lang_id_documents",               # marker-count expressions
     "fingerprint_documents",           # rolling-hash HOF
     "minhash_near_dup_documents",      # LSH shuffle + verify join
     "simhash_signatures_documents",    # vectorized pandas UDF
     "cosine_topk_embeddings",          # broadcast crossJoin + HOF dot
-    "iforest_embeddings",              # per-group numpy forest
-    "percentile_check_events",         # exact percentile windows
-    "linear_fit_events",               # regr_slope windows
+    "iforest_embeddings",              # per-group numpy forest + invariant
     "macd_cusum_events",               # dual-EMA + decayed cusum recurrences
     "time_averages_events",            # event-time range frames
-    "trend_classification_events",     # sign-of-slope convolution
+    "trend_suite_events",              # regr_slope + sign-of-slope windows
     "asof_band_check_events",          # as-of join band check
     "clustering_embeddings",           # DBSCAN-core distance check
     "combination_alicante_events",     # suite composition + alicante score
-    # round 2 additions (totals are NOT comparable to BENCH_r01's 31-query
-    # suite; compare per-query timings)
     "filtering_check_events",          # per-series Butterworth IIR
     "repair_suite_events",             # feedback repair recurrences
     "lsh_topk_embeddings",             # GEMM sign-bucket ANN + recall invariant
-    "iforest_retrain_events",          # rolling-retrain forests per epoch
+    "iforest_retrain_events",          # rolling-retrain forests + invariant
     "curation_gate_documents",         # fused quality gate + exact dedup
-    "ks_exact_events",                 # exact KS via range-partitioned prefix sums
-    # round 3 additions
+    "ks_exact_events",                 # exact KS, JVM-window prefix sums
     "clustering_retrain_events",       # epoch-parallel DBSCAN retrain
-    "rrcf_stream_events",              # streaming RRCF insert/forget/CoDisp
+    "rrcf_stream_events",              # streaming RRCF + planted invariant
     "curation_full_documents",         # full pipeline + invariant counts
     "embedding_near_dup",              # sign-GEMM bucket near-dup + verify
     "ivf_topk_embeddings",             # IVF ANN + recall invariant
     "dedup_components_documents",      # transitive pair-graph resolution
+    "drift_suite",                     # psi x3 + partition-mean drift
 ]
 
 
@@ -72,9 +74,17 @@ def force(df) -> int:
     return 0
 
 
+def _loadavg():
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        return None
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     from anomaly_detection_spark.queries import REGISTRY
     from anomaly_detection_spark.session import get_spark
@@ -83,16 +93,28 @@ def main() -> int:
     # JIT/session warmup on a trivial job so q1 isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # load-avg protocol (round 4, VERDICT r3 #4): record the 1-minute
+    # load BEFORE the suite — anything well above this process's own
+    # footprint means external sandbox load and the totals are inflated
+    # (the r3 driver bench read ~25% high on unchanged queries under a
+    # documented co-tenant). Per-query best-of-N (default 3) so one
+    # stolen-CPU run doesn't define an entry.
+    load_before = _loadavg()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name][0]
-        best = None
-        for _ in range(2):  # best-of-2: first run also pays codegen/JIT
+        runs = []
+        for _ in range(reps):  # first run also pays codegen/JIT
             t0 = time.time()
             force(fn(spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        # worst steady-state / best ratio — load-noise indicator (>2 on
+        # a quiet machine only for codegen-heavy first runs, excluded)
+        steady = runs[1:] if len(runs) > 1 else runs
+        spreads[name] = round(max(steady) / max(min(runs), 1e-9), 2)
+    load_after = _loadavg()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -102,6 +124,12 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "protocol": {"reps_per_query": reps, "stat": "best_of_n",
+                     "loadavg_before": load_before,
+                     "loadavg_after": load_after,
+                     "max_steady_spread": max(spreads.values()),
+                     "noisy_queries": {k: v for k, v in spreads.items()
+                                       if v > 1.5}},
     }))
     spark.stop()
     return 0

@@ -14,7 +14,9 @@ SAMPLE = [
     "flagship_pricing_summary",       # agg
     "welford_suite_events",           # window + expanding window
     "ema_suite_events",               # applyInPandas recurrence + quantile
-    "hampel_check_events",            # list-window median/MAD
+    "robust_window_suite_events",     # list-window median/MAD + percentile
+    "iforest_embeddings",             # planted-invariant (round 4)
+    "drift_suite",                    # merged drift verdicts (round 4)
     "asof_band_check_events",         # as-of join
     "partition_verdicts_documents",   # audit-shaped verdicts
     "lang_id_documents",              # text expressions

@@ -224,8 +224,8 @@ def test_nan_null_defensive_oracles(spark, tmp_path):
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"'{sf_dir}/events.parquet/*.parquet'")
 
-    # ks_exact drops null-ts rows on BOTH sides; NaN values participate
-    # identically (exact distinct-value aggregation)
+    # ks_exact splits on event_id (null-ts rows participate on both
+    # sides); NaN values group as a single distinct value identically
     name = "ks_exact_events"
     sdf = REGISTRY[name][0](spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]

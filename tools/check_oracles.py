@@ -66,7 +66,7 @@ def main():
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only check)")
-            if len(srows) == 0 and name != "referential_orders_customer":
+            if len(srows) == 0:
                 print(f"  WARN {name}: zero rows")
             continue
         try:
