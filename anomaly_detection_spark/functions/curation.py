@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from anomaly_detection_spark.functions.dedup import (
     exact_dedup,
@@ -205,64 +206,66 @@ def curate(
     With reporting on, the raw row count is one parquet-footer count job
     (column-pruned metadata scan) and every other counter is an observe
     metric riding the caller's output job — the gate/dedup chain executes
-    exactly once. The observed nodes live only on the anti-join (keeper)
-    side of the plan; the LSH candidate side re-derives its input without
-    metrics nodes, so a metric can never fire twice inside one action.
+    exactly once: with near-dedup on, the exact-dedup output is persisted
+    and BOTH the keeper anti-join side and the LSH candidate side read
+    the cached blocks, so the CollectMetrics nodes fire exactly once
+    (during the cache fill) and the gate input is scanned once per action
+    instead of the five scans the unpersisted round-3 plan paid.
     ``with_report=False`` attaches nothing and returns an empty report
     (pure lazy pipeline for production / streaming foreachBatch runs)."""
     cfg = config or CurationConfig()
     spark = df.sparkSession
 
-    def build(observe: bool):
-        """The gate -> exact-dedup chain, optionally with observe nodes."""
-        obs: dict[str, Observation] = {}
-        cur = df.withColumn(
-            "quality", quality_score(F.col(text_col))
-        ).withColumn("n_tokens", ws_token_count(F.col(text_col)))
-        if observe:
-            # scan WITNESS: counts rows entering the gate. A full-pass
-            # consumer action observes exactly n_raw here; an
-            # early-stopping action (take/first/limit) observes fewer —
-            # the report uses the mismatch to detect poisoned metrics
-            # and fall back to explicit counts (CollectMetrics is a
-            # pushdown barrier, so the gate filter cannot slide below it)
-            obs["scan"] = Observation()
-            cur = cur.observe(obs["scan"], F.count(F.lit(1)).alias("n"))
-        gate = (F.col("quality") >= cfg.min_quality) & (
-            F.col("n_tokens") >= cfg.min_tokens
-        )
-        if cfg.lang_from_text:
-            cur = lang_id_scored(cur, text_col, out="lang_pred")
-            gate = gate & F.col("lang_pred").isin(list(cfg.allowed_langs))
-        else:
-            gate = gate & F.col(lang_col).isin(list(cfg.allowed_langs))
-        gated = cur.filter(gate)
-        if observe:
-            obs["gated"] = Observation()
-            gated = gated.observe(obs["gated"],
-                                  F.count(F.lit(1)).alias("n"))
-        # exact dedup (one digest shuffle) — same definition as the
-        # standalone operator (dedup.exact_dedup), not a re-implementation
-        exact = exact_dedup(gated, id_col, text_col)
-        if observe:
-            obs["exact"] = Observation()
-            exact = exact.observe(obs["exact"], F.count(F.lit(1)).alias("n"))
-        return gated, exact, obs
+    obs: dict[str, Observation] = {}
+    cur = df.withColumn(
+        "quality", quality_score(F.col(text_col))
+    ).withColumn("n_tokens", ws_token_count(F.col(text_col)))
+    if with_report:
+        # scan WITNESS: counts rows entering the gate. A full-pass
+        # consumer action observes exactly n_raw here; an
+        # early-stopping action (take/first/limit) observes fewer —
+        # the report uses the mismatch to detect poisoned metrics
+        # and fall back to explicit counts (CollectMetrics is a
+        # pushdown barrier, so the gate filter cannot slide below it)
+        obs["scan"] = Observation()
+        cur = cur.observe(obs["scan"], F.count(F.lit(1)).alias("n"))
+    gate = (F.col("quality") >= cfg.min_quality) & (
+        F.col("n_tokens") >= cfg.min_tokens
+    )
+    if cfg.lang_from_text:
+        cur = lang_id_scored(cur, text_col, out="lang_pred")
+        gate = gate & F.col("lang_pred").isin(list(cfg.allowed_langs))
+    else:
+        gate = gate & F.col(lang_col).isin(list(cfg.allowed_langs))
+    gated = cur.filter(gate)
+    if with_report:
+        obs["gated"] = Observation()
+        gated = gated.observe(obs["gated"], F.count(F.lit(1)).alias("n"))
+    # exact dedup (one digest shuffle) — same definition as the
+    # standalone operator (dedup.exact_dedup), not a re-implementation
+    exact = exact_dedup(gated, id_col, text_col)
+    if with_report:
+        obs["exact"] = Observation()
+        exact = exact.observe(obs["exact"], F.count(F.lit(1)).alias("n"))
 
-    gated, exact, obs = build(observe=with_report)
-
-    # near-dedup: drop the higher-id member of each near-dup pair. The
-    # pair pipeline consumes an UNOBSERVED copy of the chain: the observed
-    # CollectMetrics nodes must appear exactly once in the executed plan
-    # (the keeper side), or one action would fire each metric twice. The
-    # two copies share the digest-window exchange when Spark reuses it;
-    # either way the loser-id set is tiny and the anti-join is the only
-    # consumer, so nothing needs a persist here (round-2 leak fixed).
+    # near-dedup: drop the higher-id member of each near-dup pair. Both
+    # the keeper (anti-join) side and the LSH candidate side consume the
+    # SAME persisted exact-dedup frame, so the gate/digest chain executes
+    # exactly once per action (round-3 built the LSH side from an
+    # unobserved REBUILD of the chain — measured 5 scans of the gate
+    # input per action: keeper + LSH signature + LSH verify fetch + ...;
+    # the persist collapses that to one, and the CollectMetrics nodes
+    # inside the cached subtree still fire exactly once, during the
+    # cache fill — asserted by the chain-executes-once accumulator
+    # test). The persist rides the existing release() registry, so the
+    # blocks are freed when the report is read (or by the GC finalizer /
+    # streaming callers' explicit release()).
     persists: list = []
     if cfg.near_dedup:
-        lsh_input = build(observe=False)[1] if with_report else exact
+        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+        persists.append(exact)
         pairs = minhash_lsh_pairs(
-            lsh_input, id_col, text_col,
+            exact, id_col, text_col,
             jaccard_threshold=cfg.jaccard_threshold,
             persist_registry=persists,
         )

@@ -1,0 +1,92 @@
+"""Round-4 regression tests: single-pass curate(with_report=True)
+(the exact-dedup persist feeding both the keeper anti-join and the LSH
+candidate side), and the config-compiler differential fuzz loop."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_curate_report_chain_executes_once(spark, docs):
+    """The gate/digest chain must scan its input EXACTLY once per
+    consuming action when reporting + near-dedup are both on (round-3
+    built the LSH candidate side from an unobserved rebuild of the
+    chain — measured five full scans of the gate input per action; the
+    round-4 persist of the exact-dedup output collapses that to one).
+
+    Witness: an accumulator-ticking UDF threaded through the text column
+    upstream of curate(). After the consumer's action, the tick count
+    must equal the input row count (one scan), not a multiple of it —
+    and all stage counters must still arrive as observe metrics (zero
+    report-time jobs), proving the CollectMetrics nodes fired during the
+    single cache-fill execution."""
+    from anomaly_detection_spark.functions.curation import (
+        CurationConfig, curate,
+    )
+
+    n_rows = 300
+    base = docs.limit(n_rows).select("doc_id", "text", "lang")
+    # localCheckpoint: freeze the 300-row slice so the witness scan count
+    # below reflects ONLY executions of the curate chain, not re-reads of
+    # the parquet + limit upstream
+    base = base.localCheckpoint(eager=True)
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(s):
+        acc.add(1)
+        return s
+
+    tick_udf = F.udf(tick, StringType())
+    witnessed = base.select(
+        "doc_id", tick_udf("text").alias("text"), "lang"
+    )
+
+    cfg = CurationConfig(min_quality=0.3,
+                         allowed_langs=("en", "de", "fr", "es", "zh"),
+                         jaccard_threshold=0.6)
+    spark.catalog.clearCache()
+    # flush pending weakref finalizers from earlier tests' reports so
+    # their async unpersists can't race the count comparison below, then
+    # snapshot: the localCheckpoint above is itself a persistent RDD, so
+    # the release assertion sees only the PIPELINE's blocks
+    import gc
+
+    gc.collect()
+    n_persistent_before = (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    )
+    curated, report = curate(witnessed, config=cfg)
+    acc.value = 0  # discard ticks from curate()'s own rows_in count job
+
+    n_out = curated.count()  # the consumer's single action
+    assert n_out > 0
+    # exactly one execution of the gate chain: every input row ticked
+    # once during the persist fill; keeper/LSH/verify consumers all read
+    # the cached exact-dedup blocks instead of re-running the chain
+    assert acc.value == n_rows, (
+        f"gate chain scanned its input {acc.value / n_rows:.1f}x "
+        f"(expected exactly 1x)"
+    )
+
+    # counters arrived via observe metrics riding that same action —
+    # reading the report must add zero jobs and stay self-consistent
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before_report = len(tracker.getJobIdsForGroup(None) or [])
+    rows = {s: (b, a, d) for s, b, a, d in report.rows()}
+    assert len(tracker.getJobIdsForGroup(None) or []) == jobs_before_report
+    assert rows["quality_lang_gate"][0] == n_rows
+    assert rows["near_dedup"][1] == n_out
+    # report.release() ran inside rows(): the pipeline's persisted
+    # blocks must be gone — the registry count cannot have grown (exact
+    # equality would race concurrent GC-finalizer unpersists from other
+    # tests' reports, so assert no-leak, not identity)
+    assert (spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+            <= n_persistent_before)
