@@ -97,6 +97,18 @@ def ema_check(
                     _out_schema(df, cols, "ema double, code int"))
 
 
+def _macd_stages(warning_stages: Sequence[float]) -> tuple:
+    """MACD's stage loop is the one reference ladder whose ``else`` branch
+    RESETS status to OK before breaking (macd.py:96-109) — so with
+    multiple ascending stages a warning set by a smaller stage is
+    overwritten unless EVERY stage triggers, i.e. MACD warns iff
+    |vn| > max(stages). EMA/BorderCheck/Welford/Cumulative break without
+    resetting (warn iff |vn| > min(stages), the shared ladder). Reduce to
+    the single deciding stage, bug-for-bug; found by the config-compiler
+    differential fuzz (multi-stage MACD configs)."""
+    return (max(warning_stages),) if warning_stages else ()
+
+
 def macd_check(
     df: DataFrame, keys, order: str, value: str, *,
     period1: int, period2: int, LL: float, UL: float,
@@ -121,7 +133,7 @@ def macd_check(
         vn = 2.0 * (macd - (UL + LL) / 2.0) / (UL - LL)
         out = pdf[cols].copy()
         out["macd"] = macd
-        out["code"] = _ladder_codes_np(vn, warning_stages)
+        out["code"] = _ladder_codes_np(vn, _macd_stages(warning_stages))
         return out
 
     return _grouped(df.select(*cols, value), keys_l, order, fn,
@@ -320,7 +332,7 @@ def macd_cusum_check(
         c = _propagate_nan(_decayed_cusum(delta, sids, decay), v, sids)
         out = pdf[cols].copy()
         out["macd"] = macd
-        out["code_macd"] = _ladder_codes_np(vn, macd_stages)
+        out["code_macd"] = _ladder_codes_np(vn, _macd_stages(macd_stages))
         out["cusum"] = c
         out["code_cusum"] = _ladder_codes_np(c, cusum_stages)
         return out

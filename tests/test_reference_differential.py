@@ -536,3 +536,137 @@ def test_negative_warning_stages_differential(spark, ref_modules, series):
                              UL=15.0, warning_stages=(0.3, -0.2)))
     assert got == ref
     assert 0 in ref  # negative stage really forces warnings
+
+
+def test_config_compiler_fuzz_differential(spark, ref_modules):
+    """Differential FUZZ of the config compiler (config.py:277): 50 seeded
+    reference-shape configs sampled over algorithm x params x filtering x
+    stack size, each compiled by compile_config and replayed through the
+    ACTUAL reference detectors; every per-detector code column and the
+    OR-combined status_code must match element-wise.
+
+    Scope: the five reference detectors importable without real
+    scipy/sklearn (BorderCheck, EMA, Welford windowed+streaming, MACD,
+    Cumulative). Retrain-keyed algorithms (IsolationForest, Clustering)
+    cannot run reference-side here (sklearn is stubbed) — their compile
+    paths are golden-tested in test_config_compile.py instead.
+
+    Known reference quirks honored: MACD leaves row 0's status
+    uninitialized (macd.py:81-109) so row 0 is skipped when MACD is in
+    the stack, and MACD crashes on empty warning_stages (macd.py:111) so
+    every sampled config carries >=1 stage. Time filters follow the
+    reference's no-midnight-wrap strict-inequality semantics
+    (consumer.py:195-221), emulated independently in plain Python here so
+    the engine's Column predicate is cross-checked, not self-checked."""
+    import ast
+
+    from anomaly_detection_spark.config import compile_config
+
+    n = 60
+    start_ts, step = 1459926000.0, 3600.0
+
+    def sample_detector(rng):
+        alg = str(rng.choice(
+            ["BorderCheck", "EMA", "Welford", "MACD", "Cumulative"]))
+        ws = sorted(
+            float(w) for w in rng.choice(
+                [0.5, 0.7, 0.8, 0.9, 0.95],
+                size=int(rng.integers(1, 3)), replace=False)
+        )
+        if alg == "BorderCheck":
+            conf = {"UL": float(rng.uniform(12, 30)),
+                    "LL": float(rng.uniform(-10, 5)),
+                    "warning_stages": ws}
+        elif alg == "EMA":
+            conf = {"N": int(rng.integers(2, 13)),
+                    "UL": float(rng.uniform(10, 25)),
+                    "LL": float(rng.uniform(-8, 2)),
+                    "warning_stages": ws}
+        elif alg == "Welford":
+            conf = {"X": float(rng.uniform(1.5, 3.0)),
+                    "warning_stages": ws}
+            if rng.random() < 0.5:
+                conf["N"] = int(rng.integers(5, 16))  # windowed mode
+        elif alg == "MACD":
+            p1 = int(rng.integers(2, 8))
+            conf = {"period1": p1, "period2": p1 + int(rng.integers(2, 12)),
+                    "UL": float(rng.uniform(1.0, 5.0)),
+                    "LL": float(rng.uniform(-5.0, -1.0)),
+                    "warning_stages": ws}
+        else:  # Cumulative — verdict uses hard +-1 bounds, UL/LL inert
+            conf = {"averaging": int(rng.integers(2, 12)),
+                    "decay": float(rng.uniform(0.0, 0.15)),
+                    "warning_stages": ws}
+        return alg, conf
+
+    failures = []
+    for trial in range(50):
+        rng = np.random.default_rng(1000 + trial)
+        vals = np.cumsum(rng.normal(0, 1, n)) + 10.0
+        vals[int(rng.integers(10, n))] += float(
+            rng.choice([-1.0, 1.0])) * float(rng.uniform(15, 30))
+        vals = [float(v) for v in vals]
+
+        dets = [sample_detector(rng) for _ in range(int(rng.integers(1, 4)))]
+        filters = []
+        for alg, _ in dets:
+            if alg != "MACD" and rng.random() < 0.3:
+                # string form: the reference configures filters as
+                # literal-eval'd tuple strings
+                filters.append(f"(({int(rng.integers(0, 24))}, 0, 0), "
+                               f"({int(rng.integers(1, 13))}, 0, 0))")
+            else:
+                filters.append(None)
+
+        config = {
+            "anomaly_detection_alg": [a for a, _ in dets],
+            # deep-ish copy: the reference's configure() sorts
+            # warning_stages in place
+            "anomaly_detection_conf": [
+                {k: (list(v) if isinstance(v, list) else v)
+                 for k, v in c.items()} for _, c in dets],
+            "filtering": filters,
+        }
+
+        out = compile_config(config)(series_df(spark, vals)) \
+            .orderBy("ts").collect()
+
+        # reference replay: per detector, skip filtered-out messages
+        # (never inserted -> no verdict -> Undefined), insert the rest
+        ref_codes = []
+        for (alg, conf), flt in zip(dets, filters):
+            keep = [True] * n
+            if flt is not None:
+                (th, tm, ts_), (dh, dm, ds) = ast.literal_eval(flt)
+                tgt, tol = th * 3600 + tm * 60 + ts_, dh * 3600 + dm * 60 + ds
+                keep = [abs((start_ts + j * step) % 86400 - tgt) < tol
+                        for j in range(n)]
+            det = ref_modules[alg]()
+            base = {"input_vector_size": 1, "output": [], "output_conf": [{}],
+                    "filtering": "None"}
+            base.update({k: (list(v) if isinstance(v, list) else v)
+                         for k, v in conf.items()})
+            det.configure(base)
+            codes = []
+            for j, v in enumerate(vals):
+                if not keep[j]:
+                    codes.append(2)
+                    continue
+                ret = det.message_insert(
+                    {"ftr_vector": [v], "timestamp": start_ts + j * step})
+                codes.append(ret[1] if isinstance(ret, tuple) and len(ret) == 2
+                             else getattr(det, "status_code", 2))
+            ref_codes.append(codes)
+
+        lo_all = 1 if any(a == "MACD" for a, _ in dets) else 0
+        for i, (alg, conf) in enumerate(dets):
+            col = f"code_{i}_{alg.lower()}"
+            got = [r[col] for r in out]
+            lo = 1 if alg == "MACD" else 0
+            if got[lo:] != ref_codes[i][lo:]:
+                failures.append((trial, col, conf, filters[i]))
+        status_ref = [min(cs) for cs in zip(*ref_codes)]
+        if [r["status_code"] for r in out][lo_all:] != status_ref[lo_all:]:
+            failures.append((trial, "status_code", config, None))
+
+    assert not failures, failures[:5]
