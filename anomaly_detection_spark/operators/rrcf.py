@@ -247,13 +247,26 @@ class RRCFStream:
 def rrcf_stream_check(
     df: DataFrame, keys, order: str, features: Sequence[str], *,
     num_trees: int = 10, tree_size: int = 128, threshold: float = 10.0,
-    seed: int = 0, extra_cols: Sequence[str] = (), out: str = "code",
+    seed: int = 0, stride: int = 1, extra_cols: Sequence[str] = (),
+    out: str = "code",
 ) -> DataFrame:
     """Per-series streaming RRCF verdicts: (.., codisp double, code int)
     with code = -1 where the mean CoDisp exceeds ``threshold`` (the
     reference emits the score itself as the status code on anomaly;
     here the score rides its own column and the code stays in the
-    engine's ladder convention)."""
+    engine's ladder convention).
+
+    ``stride=k`` (k>1) is the wall-clock cap for a pathological HOT
+    series: only every k-th point threads the forest (a uniform
+    subsample of the sliding window — the window then spans k*tree_size
+    raw points); skipped rows are honestly Undefined (codisp NULL,
+    code 2), never silently scored. stride=1 (default) is the
+    reference's exact per-point semantics. Kernel throughput is
+    single-core-bounded per series: ~5.7k points/s at dim 1 (~3.8k at
+    dim 4) once the tree_size=128 window is FULL, ~25k points/s in the
+    short-series regime where trees never fill (measured,
+    tools/rrcf_bench.py; see BENCH/BASELINE.md) — stride divides that
+    wall by ~k at the cost of verdict coverage."""
     from anomaly_detection_spark.operators.sequential import (
         _grouped, _out_schema, _per_series,
     )
@@ -261,17 +274,27 @@ def rrcf_stream_check(
     keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
     feats = list(features)
     cols = list(keys_l) + [order] + list(extra_cols)
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
 
     def one(g: pd.DataFrame) -> pd.DataFrame:
         X = g[feats].to_numpy(dtype=np.float64)
-        rows = X.tolist()                 # python floats for the kernel
+        rows = X[::stride].tolist()       # python floats for the kernel
         stream = RRCFStream(num_trees, tree_size, seed)
         score = stream.insert_score
-        scores = np.fromiter((score(r) for r in rows), dtype=np.float64,
-                             count=len(rows))
+        sub = np.fromiter((score(r) for r in rows), dtype=np.float64,
+                          count=len(rows))
         o = g[cols].copy()
+        if stride == 1:
+            scores = sub
+            codes = np.where(scores > threshold, -1, 1).astype(np.int32)
+        else:
+            scores = np.full(len(g), np.nan)
+            scores[::stride] = sub
+            codes = np.full(len(g), 2, dtype=np.int32)  # Undefined
+            codes[::stride] = np.where(sub > threshold, -1, 1)
         o["codisp"] = scores
-        o[out] = np.where(scores > threshold, -1, 1).astype(np.int32)
+        o[out] = codes
         return o
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:

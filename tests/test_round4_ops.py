@@ -90,3 +90,36 @@ def test_curate_report_chain_executes_once(spark, docs):
     # tests' reports, so assert no-leak, not identity)
     assert (spark.sparkContext._jsc.sc().getPersistentRDDs().size()
             <= n_persistent_before)
+
+
+def test_rrcf_stride_subsample_semantics(spark):
+    """stride=k scores exactly the points a stride=1 run over the k-th
+    subsample scores (same seed => identical forests => identical
+    codisp), and marks every skipped row Undefined (code 2, NULL codisp)
+    rather than silently carrying a stale verdict."""
+    import numpy as np
+    from anomaly_detection_spark.operators.rrcf import rrcf_stream_check
+
+    rng = np.random.default_rng(11)
+    vals = np.cumsum(rng.normal(0, 1, 400)) + 5.0
+    vals[100] += 60.0
+    rows = [("s", float(i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, ts double, value double")
+
+    strided = rrcf_stream_check(df, "series", "ts", ["value"], stride=4,
+                                num_trees=5, tree_size=64, seed=3) \
+        .orderBy("ts").collect()
+    sub = spark.createDataFrame(rows[::4],
+                                "series string, ts double, value double")
+    dense = rrcf_stream_check(sub, "series", "ts", ["value"], stride=1,
+                              num_trees=5, tree_size=64, seed=3) \
+        .orderBy("ts").collect()
+
+    assert len(strided) == 400
+    scored = [r for r in strided if r["code"] != 2]
+    assert [r["ts"] for r in scored] == [r["ts"] for r in dense]
+    assert [r["codisp"] for r in scored] == [r["codisp"] for r in dense]
+    assert [r["code"] for r in scored] == [r["code"] for r in dense]
+    skipped = [r for r in strided if r["code"] == 2]
+    assert len(skipped) == 300
+    assert all(r["codisp"] is None for r in skipped)
