@@ -86,6 +86,9 @@ class RCTree:
             self.root = leaf
             self.leaves[index] = leaf
             return
+        if d_ == 1:
+            self._insert1(x, index, leaf)
+            return
         node = self.root
         while True:
             nbmin, nbmax = node.bmin, node.bmax
@@ -167,6 +170,72 @@ class RCTree:
             # are repaired by the insertion point's upward pass)
             node = node.left if x[node.dim] <= node.cut else node.right
 
+    def _insert1(self, x: tuple, index: int, leaf: _Node) -> None:
+        """Univariate fast path of :meth:`insert` — the common case (one
+        value column per series). Same algorithm, same RANDOM STREAM
+        (``uniform(0, t)`` is exactly ``t * random()`` — one underlying
+        draw, bit-identical value), with the per-dimension loops unrolled
+        to scalars; measured ~1.6x on the full-window kernel. Kept
+        verdict-identical to the general path by construction (regression
+        signature test pins both paths)."""
+        x0 = x[0]
+        node = self.root
+        rand = self.rng.random
+        while True:
+            b0 = node.bmin[0]
+            B0 = node.bmax[0]
+            lo = b0 if b0 < x0 else x0
+            hi = B0 if B0 > x0 else x0
+            total = hi - lo
+            if total <= 0.0:           # x duplicates this whole subtree
+                while node.dim >= 0:
+                    node = node.left
+                node.count += 1
+                up = node
+                while up is not None:
+                    up.n += 1
+                    up = up.parent
+                self.leaves[index] = node
+                return
+            r = total * rand()
+            if r >= total:              # random() can return ~1.0
+                r = total * 0.999999999999
+            cut = lo + r
+            if cut < b0 or cut >= B0:
+                # the cut separates x from the whole subtree: new parent
+                inner = _Node()
+                inner.dim = 0
+                inner.cut = cut
+                inner.bmin = [lo]
+                inner.bmax = [hi]
+                inner.n = node.n + 1
+                if x0 <= cut:
+                    inner.left, inner.right = leaf, node
+                else:
+                    inner.left, inner.right = node, leaf
+                inner.parent = node.parent
+                if node.parent is None:
+                    self.root = inner
+                elif node.parent.left is node:
+                    node.parent.left = inner
+                else:
+                    node.parent.right = inner
+                node.parent = inner
+                leaf.parent = inner
+                up = inner.parent
+                while up is not None:
+                    up.n += 1
+                    ub = up.bmin
+                    uB = up.bmax
+                    if x0 < ub[0]:
+                        ub[0] = x0
+                    if x0 > uB[0]:
+                        uB[0] = x0
+                    up = up.parent
+                self.leaves[index] = leaf
+                return
+            node = node.left if x0 <= node.cut else node.right
+
     def forget(self, index: int) -> None:
         leaf = self.leaves.pop(index, None)
         if leaf is None:
@@ -194,6 +263,18 @@ class RCTree:
                 grand.right = sib
         up = grand
         d_ = len(leaf.x)
+        if d_ == 1:                    # univariate fast path (common case)
+            while up is not None:
+                up.n -= 1
+                left, right = up.left, up.right
+                lb = left.bmin[0]
+                rb = right.bmin[0]
+                lB = left.bmax[0]
+                rB = right.bmax[0]
+                up.bmin[0] = lb if lb < rb else rb
+                up.bmax[0] = lB if lB > rB else rB
+                up = up.parent
+            return
         while up is not None:
             up.n -= 1
             lb, lB = up.left.bmin, up.left.bmax
@@ -262,11 +343,11 @@ def rrcf_stream_check(
     raw points); skipped rows are honestly Undefined (codisp NULL,
     code 2), never silently scored. stride=1 (default) is the
     reference's exact per-point semantics. Kernel throughput is
-    single-core-bounded per series: ~5.7k points/s at dim 1 (~3.8k at
-    dim 4) once the tree_size=128 window is FULL, ~25k points/s in the
-    short-series regime where trees never fill (measured,
-    tools/rrcf_bench.py; see BENCH/BASELINE.md) — stride divides that
-    wall by ~k at the cost of verdict coverage."""
+    single-core-bounded per series: ~8.3k points/s at dim 1 (univariate
+    fast path; ~3.4k at dim 4) once the tree_size=128 window is FULL,
+    ~25k points/s in the short-series regime where trees never fill
+    (measured, tools/rrcf_bench.py; see BENCH/BASELINE.md) — stride
+    divides that wall by ~k at the cost of verdict coverage."""
     from anomaly_detection_spark.operators.sequential import (
         _grouped, _out_schema, _per_series,
     )

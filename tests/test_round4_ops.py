@@ -123,3 +123,25 @@ def test_rrcf_stride_subsample_semantics(spark):
     skipped = [r for r in strided if r["code"] == 2]
     assert len(skipped) == 300
     assert all(r["codisp"] is None for r in skipped)
+
+
+def test_rrcf_univariate_fast_path_matches_general_path():
+    """The dim-1 specialized insert/forget kernels (rrcf._insert1 and
+    forget's unrolled repair) must be verdict-identical to the general
+    path. A second CONSTANT dimension forces the general path while
+    consuming the exact same random stream (its zero span never extends
+    the box total, and the cut-dimension scan always resolves on dim 0),
+    so the two runs must produce bit-equal CoDisp sequences."""
+    import numpy as np
+    from anomaly_detection_spark.operators.rrcf import RRCFStream
+
+    rng = np.random.default_rng(23)
+    vals = np.cumsum(rng.normal(0, 1, 3000)) + 4.0
+    vals[500] += 45.0
+    vals[1500] -= 45.0
+
+    s1 = RRCFStream(6, 96, seed=9)
+    fast = [s1.insert_score([float(v)]) for v in vals]
+    s2 = RRCFStream(6, 96, seed=9)
+    general = [s2.insert_score([float(v), 7.0]) for v in vals]
+    assert fast == general
