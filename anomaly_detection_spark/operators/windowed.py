@@ -51,13 +51,18 @@ def welford_windowed(
     UL/LL = mean +- X*s)."""
     w = _w(keys, order)
     frame = w.rowsBetween(-N, -1)
-    mean = F.avg(value).over(frame)
-    s = F.stddev_samp(value).over(frame)
-    vn = (F.col(value) - mean) / (X * s)
+    # materialize the two frame aggregates once — the ladder references
+    # vn several times and each reference would otherwise carry its own
+    # avg/stddev window buffer (same fix as hampel; ~halves the fused
+    # Window operator's per-row work)
+    tmp_m, tmp_s = f"_wf_mean_{out}", f"_wf_s_{out}"
+    res = df.withColumn(tmp_m, F.avg(value).over(frame)) \
+            .withColumn(tmp_s, F.stddev_samp(value).over(frame))
+    vn = (F.col(value) - F.col(tmp_m)) / (X * F.col(tmp_s))
     code = F.when(
         F.row_number().over(w) <= N, F.lit(UNDEFINED_CODE)
     ).otherwise(ladder_code(vn, warning_stages))
-    return df.withColumn(out, code)
+    return res.withColumn(out, code).drop(tmp_m, tmp_s)
 
 
 def welford_streaming(
@@ -105,7 +110,15 @@ def hampel(
     """
     w = _w(keys, order)
     frame = w.rowsBetween(-W + offset, W + offset)
-    arr = F.array_sort(F.collect_list(F.col(value)).over(frame))
+    # materialize the sorted frame ONCE: every downstream expression
+    # references the column, not the window expression — otherwise each
+    # of the ~16 references spawns its own collect_list window buffer in
+    # the (single, fused) Window operator (observed in the executed
+    # plan; the median/MAD math then runs row-local in codegen)
+    tmp = f"_hampel_arr_{out}"
+    res = df.withColumn(
+        tmp, F.array_sort(F.collect_list(F.col(value)).over(frame)))
+    arr = F.col(tmp)
     n = F.size(arr)
     med = F.element_at(arr, (n / 2 + 1).cast("int"))  # exact for odd n
     devs = F.array_sort(F.transform(arr, lambda e: F.abs(e - med)))
@@ -116,12 +129,12 @@ def hampel(
         .when(is_out, F.lit(-1))
         .otherwise(F.lit(1))
     )
-    res = df.withColumn(out, code)
+    res = res.withColumn(out, code)
     if suggested:
         res = res.withColumn(
             suggested, F.when(is_out & (n == 2 * W + 1), med).otherwise(F.col(value))
         )
-    return res
+    return res.drop(tmp)
 
 
 def percentile_check(
@@ -171,16 +184,25 @@ def linear_fit_check(
     rn = F.row_number().over(w)
     dfx = df.withColumn("_x", rn.cast("double"))
     frame = _w(keys, order).rowsBetween(-(N - 1), 0)
-    slope = F.expr(f"regr_slope({value}, _x)").over(frame)
+    # materialize the regression aggregates once (the ladder's multiple
+    # vn references would otherwise each carry their own regr_slope
+    # window buffer — same fix as hampel/welford)
+    tmp = f"_lf_slope_{out}"
+    dfx = dfx.withColumn(tmp, F.expr(f"regr_slope({value}, _x)").over(frame))
+    slope = F.col(tmp)
+    drops = ["_x", tmp]
     vn = 2.0 * (slope - (UL + LL) / 2.0) / (UL - LL)
     verdict = ladder_code(vn, warning_stages)
     if confidence_norm is not None:
-        sse = (F.expr(f"regr_syy({value}, _x)").over(frame)
-               - slope * F.expr(f"regr_sxy({value}, _x)").over(frame))
-        verdict = F.when(sse / F.col(value) > confidence_norm,
+        tmp_sse = f"_lf_sse_{out}"
+        dfx = dfx.withColumn(
+            tmp_sse, F.expr(f"regr_syy({value}, _x)").over(frame)
+            - slope * F.expr(f"regr_sxy({value}, _x)").over(frame))
+        drops.append(tmp_sse)
+        verdict = F.when(F.col(tmp_sse) / F.col(value) > confidence_norm,
                          F.lit(UNDEFINED_CODE)).otherwise(verdict)
     code = F.when(rn < N, F.lit(UNDEFINED_CODE)).otherwise(verdict)
-    return dfx.withColumn(out, code).drop("_x")
+    return dfx.withColumn(out, code).drop(*drops)
 
 
 def percent_score(
