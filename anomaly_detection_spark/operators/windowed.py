@@ -81,13 +81,16 @@ def welford_streaming(
     """
     w = _w(keys, order)
     frame = w.rowsBetween(Window.unboundedPreceding, -1)
-    mean = F.avg(value).over(frame)
-    sd = F.stddev_pop(value).over(frame)
-    vn = (F.col(value) - mean) / (X * sd)
+    # buffer-dedup: one avg + one stddev window expression (see
+    # welford_windowed)
+    tmp_m, tmp_s = f"_ws_mean_{out}", f"_ws_s_{out}"
+    res = df.withColumn(tmp_m, F.avg(value).over(frame)) \
+            .withColumn(tmp_s, F.stddev_pop(value).over(frame))
+    vn = (F.col(value) - F.col(tmp_m)) / (X * F.col(tmp_s))
     code = F.when(
         F.row_number().over(w) <= 2, F.lit(UNDEFINED_CODE)
     ).otherwise(ladder_code(vn, warning_stages))
-    return df.withColumn(out, code)
+    return res.withColumn(out, code).drop(tmp_m, tmp_s)
 
 
 def hampel(
@@ -324,12 +327,15 @@ def trend_classification_check(
         _w(keys, order).rowsBetween(-(N - 1), 0)
     )
     dfx = dfx.withColumn("_cls", F.signum(slope))
-    conv_mean = F.avg("_cls").over(_w(keys, order).rowsBetween(-(conv - 1), 0))
-    vn = 2.0 * (conv_mean - (UL + LL) / 2.0) / (UL - LL)
+    # materialize the convolution once (ladder references vn multiple
+    # times — same buffer-dedup fix as hampel/welford/linear_fit)
+    dfx = dfx.withColumn("_conv", F.avg("_cls").over(
+        _w(keys, order).rowsBetween(-(conv - 1), 0)))
+    vn = 2.0 * (F.col("_conv") - (UL + LL) / 2.0) / (UL - LL)
     code = F.when(rn < N + conv - 1, F.lit(UNDEFINED_CODE)).otherwise(
         ladder_code(vn, warning_stages)
     )
-    return dfx.withColumn(out, code).drop("_x", "_cls")
+    return dfx.withColumn(out, code).drop("_x", "_cls", "_conv")
 
 
 def percent_score_alicante(
