@@ -322,20 +322,22 @@ def trend_classification_check(
     Pure window expressions."""
     w = _w(keys, order)
     rn = F.row_number().over(w)
-    dfx = df.withColumn("_x", rn.cast("double"))
-    slope = F.expr(f"regr_slope({value}, _x)").over(
+    tx, tc, tv = f"_tc_x_{out}", f"_tc_cls_{out}", f"_tc_conv_{out}"
+    dfx = df.withColumn(tx, rn.cast("double"))
+    slope = F.expr(f"regr_slope({value}, {tx})").over(
         _w(keys, order).rowsBetween(-(N - 1), 0)
     )
-    dfx = dfx.withColumn("_cls", F.signum(slope))
+    dfx = dfx.withColumn(tc, F.signum(slope))
     # materialize the convolution once (ladder references vn multiple
-    # times — same buffer-dedup fix as hampel/welford/linear_fit)
-    dfx = dfx.withColumn("_conv", F.avg("_cls").over(
+    # times — same buffer-dedup fix as hampel/welford/linear_fit);
+    # out-suffixed temp names: collision-safe when chained twice
+    dfx = dfx.withColumn(tv, F.avg(tc).over(
         _w(keys, order).rowsBetween(-(conv - 1), 0)))
-    vn = 2.0 * (F.col("_conv") - (UL + LL) / 2.0) / (UL - LL)
+    vn = 2.0 * (F.col(tv) - (UL + LL) / 2.0) / (UL - LL)
     code = F.when(rn < N + conv - 1, F.lit(UNDEFINED_CODE)).otherwise(
         ladder_code(vn, warning_stages)
     )
-    return dfx.withColumn(out, code).drop("_x", "_cls", "_conv")
+    return dfx.withColumn(out, code).drop(tx, tc, tv)
 
 
 def percent_score_alicante(

@@ -123,6 +123,19 @@ def _invariant_split(out, planted_pred):
     return out.filter(planted_pred), out.filter(~planted_pred)
 
 
+def _fp_gate(inliers, rate: float):
+    """The shared tail of every planted-invariant query: a 1-row
+    broadcastable (fp_ok boolean) frame asserting the inlier flag rate
+    stays <= ``rate``. Empty inliers (a degenerate slice) coalesce to
+    True — the rate claim is then vacuous, not NULL (a NULL would
+    hash-mismatch the oracle's literal TRUE). Extracted in round 4 after
+    the same five-line block had been copied six times and the
+    empty-guard had already diverged (only iforest_retrain carried it)."""
+    return inliers.agg(F.coalesce(
+        F.avg((F.col("code") == -1).cast("double")) <= rate,
+        F.lit(True)).alias("fp_ok"))
+
+
 # ---------------------------------------------------------------------------
 # 1. flagship pricing summary (classic scan→filter→agg shape)
 # ---------------------------------------------------------------------------
@@ -977,8 +990,7 @@ def q_iforest_embeddings(spark, sf_dir) -> DataFrame:
         extra_cols=["vec_id"], n_trees=50, subsample=256,
     ).select("vec_id", "code")
     planted, inliers = _invariant_split(out, F.col("vec_id") >= 100_000)
-    fp = inliers.agg(
-        (F.avg((F.col("code") == -1).cast("double")) <= 0.04).alias("fp_ok"))
+    fp = _fp_gate(inliers, 0.04)
     return planted.crossJoin(F.broadcast(fp)).select(
         "vec_id", (F.col("code") == -1).alias("planted_flagged"), "fp_ok")
 
@@ -1250,8 +1262,7 @@ def q_pca_iforest_embeddings(spark, sf_dir) -> DataFrame:
         contamination=0.02, extra_cols=["vec_id"], n_trees=50, subsample=256,
     ).select("vec_id", "code")
     planted, inliers = _invariant_split(out, F.col("vec_id") >= 100_000)
-    fp = inliers.agg(
-        (F.avg((F.col("code") == -1).cast("double")) <= 0.04).alias("fp_ok"))
+    fp = _fp_gate(inliers, 0.04)
     return planted.crossJoin(F.broadcast(fp)).select(
         "vec_id", (F.col("code") == -1).alias("planted_flagged"), "fp_ok")
 
@@ -1511,8 +1522,7 @@ def q_recon_drift_events(spark, sf_dir) -> DataFrame:
         out, F.col("event_id") >= 1_000_000_000)
     per_series = planted.groupBy("user_id").agg(
         F.max((F.col("code") == -1).cast("int")).alias("_any"))
-    fp = inliers.agg(
-        (F.avg((F.col("code") == -1).cast("double")) <= 0.08).alias("fp_ok"))
+    fp = _fp_gate(inliers, 0.08)
     return per_series.crossJoin(F.broadcast(fp)).select(
         "user_id", (F.col("_any") == 1).alias("pair_flagged"), "fp_ok")
 
@@ -1535,14 +1545,22 @@ def q_codisp_events(spark, sf_dir) -> DataFrame:
     approximate 90th CoDisp percentile (a rank invariant — the batch
     statistic of an out-of-training-range point varies with the random
     subsample, so the code threshold itself is not guaranteed; measured
-    planted CoDisp 19.9-86.6 vs p95 9.5-17.5 across sf0.001-0.1), and
-    the group's code-level flag rate stays <= 0.03 (measured <= 0.016)."""
+    planted CoDisp min 21.8-72.9 vs inlier p90 <= 9.2 across
+    sf0.001-0.1 under per-type lag), and the group's code-level flag
+    rate stays <= 0.05 (measured <= 0.027; bound carries 2x headroom
+    because the seeded subsample redraws on regenerated data)."""
     from anomaly_detection_spark.operators.mvoutlier import codisp_check
     from anomaly_detection_spark.operators.windowed import shift_features
 
+    # lag per EVENT_TYPE — the same partition the spikes are planted in
+    # (per-user lag would let another event of the clone's owner, with ts
+    # inside the +60/+120s window, interleave between the pair on
+    # regenerated/larger data and hand spike B a normal lag value: the
+    # shipped testdata has no such event, but the invariant must not
+    # depend on that — round-4 review finding)
     ev = _events_spiked(spark, sf_dir, per="event_type", value=100_000.0,
                         pair=True)
-    e = shift_features(ev, "user_id", "ts", "value", [1])
+    e = shift_features(ev, "event_type", "ts", "value", [1])
     e = e.filter(F.col("shift_1").isNotNull())
     out = codisp_check(
         e, "event_type", ["value", "shift_1"], threshold=25.0,
@@ -1552,7 +1570,7 @@ def q_codisp_events(spark, sf_dir) -> DataFrame:
         out, F.col("event_id") >= 1_000_000_000)
     stats = inliers.groupBy("event_type").agg(
         F.expr("approx_percentile(codisp, 0.9)").alias("_p90"),
-        (F.avg((F.col("code") == -1).cast("double")) <= 0.03).alias("fp_ok"))
+        (F.avg((F.col("code") == -1).cast("double")) <= 0.05).alias("fp_ok"))
     return planted.join(F.broadcast(stats), "event_type").select(
         "event_type", "event_id",
         (F.col("codisp") >= F.col("_p90")).alias("above_p90"), "fp_ok")
@@ -1590,8 +1608,7 @@ def q_forecast_band_events(spark, sf_dir) -> DataFrame:
     ).select("event_id", "code")
     planted, inliers = _invariant_split(
         out, F.col("event_id") >= 1_000_000_000)
-    fp = inliers.agg(
-        (F.avg((F.col("code") == -1).cast("double")) <= 0.02).alias("fp_ok"))
+    fp = _fp_gate(inliers, 0.02)
     return planted.crossJoin(F.broadcast(fp)).select(
         "event_id", (F.col("code") == -1).alias("planted_flagged"), "fp_ok")
 
@@ -1707,9 +1724,7 @@ def q_iforest_retrain_events(spark, sf_dir) -> DataFrame:
     ).select("event_type", "event_id", "epoch", "code")
     planted, inliers = _invariant_split(
         out, F.col("event_id") >= 1_000_000_000)
-    fp = inliers.filter(F.col("epoch") >= 1).agg(
-        F.coalesce(F.avg((F.col("code") == -1).cast("double")) <= 0.10,
-                   F.lit(True)).alias("fp_ok"))
+    fp = _fp_gate(inliers.filter(F.col("epoch") >= 1), 0.10)
     return planted.crossJoin(F.broadcast(fp)).select(
         "event_type", "event_id", "epoch",
         ((F.col("epoch") == 0) | (F.col("code") == -1)).alias("flagged_ok"),
@@ -1945,8 +1960,7 @@ def q_rrcf_stream_events(spark, sf_dir) -> DataFrame:
     ).select("user_id", "event_id", "code")
     planted, inliers = _invariant_split(
         out, F.col("event_id") >= 1_000_000_000)
-    fp = inliers.agg(
-        (F.avg((F.col("code") == -1).cast("double")) <= 0.05).alias("fp_ok"))
+    fp = _fp_gate(inliers, 0.05)
     return planted.crossJoin(F.broadcast(fp)).select(
         "user_id", "event_id",
         (F.col("code") == -1).alias("planted_flagged"), "fp_ok")
