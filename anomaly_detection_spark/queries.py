@@ -1505,8 +1505,9 @@ def q_recon_drift_events(spark, sf_dir) -> DataFrame:
     (value, lag-1) plane, near-orthogonal extremes that no single
     principal direction can absorb — so whatever 1-D basis the sample
     SVD picks, at least one of the pair has a gross reconstruction error
-    and must be flagged. Inlier flag rate <= 0.08 (measured 0.011-0.046
-    across sf0.001-0.1)."""
+    and must be flagged. Inlier flag rate <= 0.10 (measured 0.011-0.046
+    across sf0.001-0.1; 2.2x headroom — seeded models redraw on
+    regenerated data)."""
     from anomaly_detection_spark.operators.mvoutlier import recon_drift_check
     from anomaly_detection_spark.operators.windowed import shift_features
 
@@ -1522,7 +1523,7 @@ def q_recon_drift_events(spark, sf_dir) -> DataFrame:
         out, F.col("event_id") >= 1_000_000_000)
     per_series = planted.groupBy("user_id").agg(
         F.max((F.col("code") == -1).cast("int")).alias("_any"))
-    fp = _fp_gate(inliers, 0.08)
+    fp = _fp_gate(inliers, 0.10)
     return per_series.crossJoin(F.broadcast(fp)).select(
         "user_id", (F.col("_any") == 1).alias("pair_flagged"), "fp_ok")
 
@@ -1944,8 +1945,8 @@ def q_rrcf_stream_events(spark, sf_dir) -> DataFrame:
     enumerate it). Round-4 planted-invariant oracle: each selected
     series' appended gross spike (value 5000) arrives as the stream's
     final insert and its CoDisp must exceed the threshold (measured
-    100% across sf0.001-0.1); inlier flag rate <= 0.05 (measured
-    0.026)."""
+    100% across sf0.001-0.1); inlier flag rate <= 0.06 (measured
+    <= 0.026; >=2x headroom for seeded-forest redraws)."""
     from anomaly_detection_spark.operators.rrcf import rrcf_stream_check
     from anomaly_detection_spark.operators.windowed import shift_features
 
@@ -1960,7 +1961,7 @@ def q_rrcf_stream_events(spark, sf_dir) -> DataFrame:
     ).select("user_id", "event_id", "code")
     planted, inliers = _invariant_split(
         out, F.col("event_id") >= 1_000_000_000)
-    fp = _fp_gate(inliers, 0.05)
+    fp = _fp_gate(inliers, 0.06)
     return planted.crossJoin(F.broadcast(fp)).select(
         "user_id", "event_id",
         (F.col("code") == -1).alias("planted_flagged"), "fp_ok")
