@@ -55,6 +55,20 @@ def _grouped(df: DataFrame, keys, order: str, fn, schema: str,
         "_bkt", F.pmod(F.xxhash64(*[F.col(k) for k in keys]),
                        F.lit(n_buckets))
     )
+    # EXPLICIT numbered repartition, not a bare groupBy exchange: AQE's
+    # coalescePartitions sizes post-shuffle partitions by BYTES (64 MB
+    # advisory) and knows nothing about downstream Python cost, so at
+    # small shuffle volumes it collapsed every applyInPandas stage to
+    # ONE task — measured 5.9s single-task vs 0.9s parallel on the RRCF
+    # kernel (25k rows is ~2 MB of shuffle but ~5s of Python). A
+    # user-specified repartition(n, col) is exempt from AQE coalescing,
+    # and groupBy on the same key reuses the partitioning (no second
+    # exchange). At real scale the bytes are big enough that AQE would
+    # not coalesce — this pins the Python-cost-aware parallelism at
+    # every scale.
+    n_parts = min(n_buckets, int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")))
+    bucketed = bucketed.repartition(n_parts, "_bkt")
     return bucketed.groupBy("_bkt").applyInPandas(wrapper, schema=schema)
 
 
