@@ -145,3 +145,30 @@ def test_rrcf_univariate_fast_path_matches_general_path():
     s2 = RRCFStream(6, 96, seed=9)
     general = [s2.insert_score([float(v), 7.0]) for v in vals]
     assert fast == general
+
+
+def test_grouped_fanout_survives_aqe_coalescing(spark):
+    """AQE's byte-based partition coalescing must NOT collapse the
+    Python-kernel stage behind ``_grouped`` to one task: the shuffle is
+    tiny (a few MB) but the per-group cost is Python CPU, so the helper
+    pins an explicit repartition (exempt from coalescing) before the
+    groupBy. Regression for the round-4 finding where the RRCF scoring
+    stage ran 63 buckets in ONE task (5.9s vs 0.98s parallel)."""
+    import pandas as pd
+
+    from anomaly_detection_spark.operators.sequential import _grouped
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 100).alias("series"),
+        F.col("id").alias("ts"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[["series", "ts", "v"]]
+
+    out = _grouped(df, ["series"], "ts", fn,
+                   "series bigint, ts bigint, v double")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # output partitioning == the pinned fan-out, not an AQE-coalesced 1
+    assert out.rdd.getNumPartitions() == min(64, n_shuffle) > 1
