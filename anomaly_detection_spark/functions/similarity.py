@@ -41,6 +41,46 @@ def _norm(c):
                               F.lit(0.0), lambda a, x: a + x))
 
 
+def _rerank_topk(scored: DataFrame, query_id: str, id_col: str,
+                 k: int) -> DataFrame:
+    """Exact-cosine re-rank of an ANN candidate set, vectorized: one
+    numpy row-wise dot per Arrow batch instead of an interpreted
+    ``aggregate(zip_with(...))`` fold per (query, candidate) pair —
+    higher-order-function lambdas are interpreted per ELEMENT (PLANS.md
+    lesson 1), which made the re-rank the wall at large query batches
+    (measured 11-35s -> ~2s for 1024 queries x 200k corpus,
+    tools/ann_bench.py). ``scored`` carries (query_id, id_col, _cv,
+    _qv); float32 inputs are widened to float64 BEFORE the multiply, so
+    candidate ordering can shift ~1e-7 vs the old float-multiply fold —
+    inside every consumer's rounding/recall margin."""
+    fields = {f.name: f.dataType.simpleString() for f in scored.schema.fields}
+    out_schema = (f"`{query_id}` {fields[query_id]}, "
+                  f"`{id_col}` {fields[id_col]}, cosine double")
+
+    def rr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["_qv"].to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = num / den  # zero-norm -> inf/nan, same as the fold
+            yield pd.DataFrame({query_id: pdf[query_id].to_numpy(),
+                                id_col: pdf[id_col].to_numpy(),
+                                "cosine": cos})
+
+    ranked = scored.select(query_id, id_col, "_cv", "_qv").mapInPandas(
+        rr, schema=out_schema)
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame, queries: DataFrame, *, id_col: str = "vec_id",
     vec_col: str = "embedding", query_id: str = "query_id", k: int = 10,
@@ -195,15 +235,44 @@ def ivf_topk(
     Train — sample up to ``train_sample`` corpus vectors to the driver
     (bounded, independent of corpus size) and fit the spherical-k-means
     coarse quantizer. Index — ONE GEMM per Arrow batch assigns each
-    corpus vector to its nearest centroid; only narrow (id, cell) rows
-    leave the scan. Search — each (broadcast) query probes its
-    ``n_probe`` closest cells; candidates = members of probed cells (one
-    shuffle keyed by cell); exact cosine re-rank fetches candidate
-    vectors via semi-join. Recall is tuned with n_probe/n_cells."""
+    corpus vector to its nearest centroid; rows whose cell no query
+    probes are dropped AT THE SCAN, so the only wide op is one shuffle
+    of the probed cells' (id, cell, vector) rows. Search — the query
+    batch is driver-resident (bounded: the prior shape broadcast it per
+    join, the same size contract); per probed cell ONE GEMM scores
+    members x probing queries and emits k-row partials; a final window
+    merges partials — lossless, since any global top-k member must be
+    top-k within some probed cell it shares with the query. Candidate
+    (query, id) pairs are NEVER materialized: the previous pair-join +
+    dedup + per-pair vector fetch moved 13M rows and ~6 GB of vectors at
+    1024 queries x 200k corpus (24s); this shape runs the same search in
+    ~3s and scales linearly in corpus size with a single narrow shuffle
+    (tools/ann_bench.py). Recall is tuned with n_probe/n_cells."""
     rows = bounded_sample_rows(corpus.select(vec_col), train_sample,
                                seed=seed)
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     C = spherical_kmeans(X, n_cells, iters=kmeans_iters, seed=seed)
+
+    id_type = corpus.select(id_col).schema[0].dataType.simpleString()
+    q_type = queries.select(query_id).schema[0].dataType.simpleString()
+    vec_type = corpus.select(vec_col).schema[0].dataType.simpleString()
+    out_schema = (f"`{query_id}` {q_type}, `{id_col}` {id_type}, "
+                  "cosine double")
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    spark = corpus.sparkSession
+    if not q_rows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    qids = [r[0] for r in q_rows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12, None)
+    p = min(n_probe, C.shape[0])
+    probe = np.argpartition(-(Qn @ C.T), p - 1, axis=1)[:, :p]
+    cell_queries: dict[int, list[int]] = {}
+    for j in range(len(qids)):
+        for c in probe[j]:
+            cell_queries.setdefault(int(c), []).append(j)
+    probed = np.array(sorted(cell_queries), dtype=np.int32)
 
     def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -212,54 +281,50 @@ def ivf_topk(
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             M = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True),
                             1e-12, None)
+            cells = (M @ C.T).argmax(axis=1).astype(np.int32)
+            keep = np.isin(cells, probed)
             yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(),
-                "cell": (M @ C.T).argmax(axis=1).astype(np.int32),
+                id_col: pdf[id_col].to_numpy()[keep],
+                "cell": cells[keep],
+                vec_col: pdf[vec_col].to_numpy()[keep],
             })
 
-    id_type = corpus.select(id_col).schema[0].dataType.simpleString()
     indexed = corpus.select(id_col, vec_col).mapInPandas(
-        assign_cells, schema=f"`{id_col}` {id_type}, cell int")
+        assign_cells,
+        schema=f"`{id_col}` {id_type}, cell int, `{vec_col}` {vec_type}")
 
-    def probe_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Q = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True),
-                            1e-12, None)
-            p = min(n_probe, C.shape[0])
-            top = np.argpartition(-(Q @ C.T), p - 1, axis=1)[:, :p]
-            yield pd.DataFrame({
-                query_id: np.repeat(pdf[query_id].to_numpy(), p),
-                "cell": top.reshape(-1).astype(np.int32),
-            })
+    def cell_topk(key, pdf):
+        js = cell_queries.get(int(key[0]))
+        if not js or not len(pdf):
+            return pd.DataFrame({query_id: [], id_col: [], "cosine": []})
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True),
+                         1e-12, None)
+        S = Mn @ Qn[js].T  # (members, probing queries)
+        ids = pdf[id_col].to_numpy()
+        top = min(k, len(ids))
+        part = np.argpartition(-S, top - 1, axis=0)[:top]
+        out_q, out_i, out_c = [], [], []
+        for jj, j in enumerate(js):
+            sel = part[:, jj]
+            out_q.extend([qids[j]] * len(sel))
+            out_i.extend(ids[sel])
+            out_c.extend(S[sel, jj])
+        return pd.DataFrame({query_id: out_q, id_col: out_i,
+                             "cosine": out_c})
 
-    q_type = queries.select(query_id).schema[0].dataType.simpleString()
-    probes = queries.select(query_id, vec_col).mapInPandas(
-        probe_cells, schema=f"`{query_id}` {q_type}, cell int")
-
-    cand = (
-        indexed.join(F.broadcast(probes), "cell")
-        .select(query_id, id_col)
-        .dropDuplicates([query_id, id_col])
-    )
-    cvec = (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
-        .join(cand.select(id_col).distinct(), id_col, "left_semi")
-    )
-    qvec = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
-    scored = cand.join(cvec, id_col).join(F.broadcast(qvec), query_id)
-    dot = F.aggregate(
-        F.zip_with(F.col("_cv"), F.col("_qv"), lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    scored = scored.withColumn(
-        "cosine", dot / (_norm(F.col("_cv")) * _norm(F.col("_qv")))
+    # explicit fan-out pin: the per-cell groups are Python/GEMM work and
+    # the shuffle is small, so AQE would coalesce them (PLANS.md lesson 8)
+    n_parts = min(max(len(probed), 1),
+                  int(spark.conf.get("spark.sql.shuffle.partitions")))
+    partials = (
+        indexed.repartition(n_parts, "cell")
+        .groupBy("cell")
+        .applyInPandas(cell_topk, schema=out_schema)
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cosine", "rank")
     )
@@ -273,42 +338,112 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: per table, bucket = sign pattern over n_planes
     seeded hyperplanes; candidates = same (table, bucket) as the query in
-    ANY table; exact cosine re-rank on candidates only. Buckets for both
-    sides come from :func:`sign_bucket_rows` (one GEMM, narrow rows); the
-    corpus vectors are re-read only for candidate ids (semi-join
-    pushdown), so the re-rank HOF runs on the tiny candidate set."""
+    ANY table. Shape mirrors :func:`ivf_topk`: query buckets are computed
+    driver-side (the query batch is broadcast-small by contract), corpus
+    buckets in ONE GEMM per Arrow batch (same math as
+    :func:`sign_bucket_rows`); rows whose (table, bucket) no query
+    occupies are dropped at the scan, so the only wide op shuffles the
+    matching buckets' (id, tbl, bkt, vector) rows. Per bucket one GEMM
+    scores members x that bucket's queries and emits k-row partials;
+    cross-table duplicates collapse in a dropDuplicates over the TINY
+    partial set, then a window merges — lossless for global top-k.
+    Candidate (query, id) pairs never materialize (the previous
+    pair-join + per-pair vector fetch took 11-50s at 1024 queries x 200k
+    corpus; this shape ~3-4s, tools/ann_bench.py)."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables * n_planes, dim))
+    shifts = np.arange(n_planes, dtype=np.int64)
 
-    cb = sign_bucket_rows(corpus, id_col, vec_col, planes, n_tables, n_planes)
-    qb = sign_bucket_rows(queries, query_id, vec_col, planes, n_tables,
-                          n_planes)
+    id_type = corpus.select(id_col).schema[0].dataType.simpleString()
+    q_type = queries.select(query_id).schema[0].dataType.simpleString()
+    vec_type = corpus.select(vec_col).schema[0].dataType.simpleString()
+    out_schema = (f"`{query_id}` {q_type}, `{id_col}` {id_type}, "
+                  "cosine double")
 
-    cand = (
-        cb.join(F.broadcast(qb), ["tbl", "bkt"])
-        .select(query_id, id_col)
+    q_rows = queries.select(query_id, vec_col).collect()
+    spark = corpus.sparkSession
+    if not q_rows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    qids = [r[0] for r in q_rows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12, None)
+    qbits = (Q @ planes.T >= 0).astype(np.int64).reshape(
+        len(qids), n_tables, n_planes)
+    qbkt = (qbits << shifts).sum(axis=2)  # (q, tbl)
+    bucket_queries: dict[tuple[int, int], list[int]] = {}
+    for j in range(len(qids)):
+        for t in range(n_tables):
+            bucket_queries.setdefault((t, int(qbkt[j, t])), []).append(j)
+    tbl_buckets = [
+        np.array(sorted({b for (t, b) in bucket_queries if t == ti}),
+                 dtype=np.int64)
+        for ti in range(n_tables)
+    ]
+
+    def bucketize_keep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (X @ planes.T >= 0).astype(np.int64)
+            bkt = (bits.reshape(len(pdf), n_tables, n_planes)
+                   << shifts).sum(axis=2)  # (rows, tbl)
+            ids = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col].to_numpy()
+            out_i, out_t, out_b, out_v = [], [], [], []
+            for t in range(n_tables):
+                col = bkt[:, t]
+                keep = np.isin(col, tbl_buckets[t])
+                if not keep.any():
+                    continue
+                out_i.extend(ids[keep])
+                out_t.extend([t] * int(keep.sum()))
+                out_b.extend(col[keep])
+                out_v.extend(vecs[keep])
+            yield pd.DataFrame({id_col: out_i, "tbl": out_t, "bkt": out_b,
+                                vec_col: out_v})
+
+    members = corpus.select(id_col, vec_col).mapInPandas(
+        bucketize_keep,
+        schema=(f"`{id_col}` {id_type}, tbl int, bkt bigint, "
+                f"`{vec_col}` {vec_type}"))
+
+    def bucket_topk(key, pdf):
+        js = bucket_queries.get((int(key[0]), int(key[1])))
+        if not js or not len(pdf):
+            return pd.DataFrame({query_id: [], id_col: [], "cosine": []})
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True),
+                         1e-12, None)
+        S = Mn @ Qn[js].T
+        ids = pdf[id_col].to_numpy()
+        top = min(k, len(ids))
+        part = np.argpartition(-S, top - 1, axis=0)[:top]
+        out_q, out_i, out_c = [], [], []
+        for jj, j in enumerate(js):
+            sel = part[:, jj]
+            out_q.extend([qids[j]] * len(sel))
+            out_i.extend(ids[sel])
+            out_c.extend(S[sel, jj])
+        return pd.DataFrame({query_id: out_q, id_col: out_i,
+                             "cosine": out_c})
+
+    # explicit fan-out pin against AQE coalescing (PLANS.md lesson 8)
+    n_parts = min(max(len(bucket_queries), 1),
+                  int(spark.conf.get("spark.sql.shuffle.partitions")))
+    partials = (
+        members.repartition(n_parts, "tbl", "bkt")
+        .groupBy("tbl", "bkt")
+        .applyInPandas(bucket_topk, schema=out_schema)
+        # a pair matching in several tables yields identical-cosine rows;
+        # collapse them on the tiny partial set before ranking
         .dropDuplicates([query_id, id_col])
-    )
-    # no broadcast hint on the candidate set: it grows with corpus size x
-    # n_tables, so let AQE pick the join strategy from its observed size
-    cvec = (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
-        .join(cand.select(id_col).distinct(), id_col, "left_semi")
-    )
-    qvec = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
-    scored = cand.join(cvec, id_col).join(F.broadcast(qvec), query_id)
-    dot = F.aggregate(
-        F.zip_with(F.col("_cv"), F.col("_qv"), lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    scored = scored.withColumn(
-        "cosine", dot / (_norm(F.col("_cv")) * _norm(F.col("_qv")))
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cosine", "rank")
     )
