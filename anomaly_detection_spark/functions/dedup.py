@@ -517,15 +517,28 @@ def embedding_near_dup_pairs(
         .join(vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")),
               "id_b")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    out = (
-        pairs.withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
-        .filter(F.col("cosine") >= cosine_threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    # vectorized verify: one numpy row-wise dot per Arrow batch instead
+    # of an interpreted aggregate(zip_with) fold per pair (PLANS.md
+    # lesson 1); float32 inputs widen to float64 BEFORE the multiply,
+    # matching the SQL oracle's double math more closely than the old
+    # float-precision element products
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = num / den
+            keep = cos >= cosine_threshold
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"].to_numpy()[keep],
+                "id_b": pdf["id_b"].to_numpy()[keep],
+                "cosine": cos[keep],
+            })
+
+    out = pairs.select("id_a", "id_b", "va", "vb").mapInPandas(
+        verify, schema=f"id_a {_idt}, id_b {_idt}, cosine double")
     return _scope_candidate_persist(out, cand_ids) if eager else out

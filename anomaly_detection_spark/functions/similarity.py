@@ -10,9 +10,9 @@
   constant factor when q is large; identical results.
 * :func:`lsh_topk` — approximate scale path: random-hyperplane sign
   buckets over ``n_tables`` independent tables; candidates = bucket
-  collisions in any table, exact re-rank inside candidates. Recall is
-  tunable with n_tables/n_planes; the corpus-side shuffle is one
-  hash-partition per table on the bucket id.
+  collisions in any table, exact per-bucket GEMM re-rank (query-occupied
+  buckets only; candidate pairs never materialize). Recall is tunable
+  with n_tables/n_planes.
 
 * :func:`ivf_topk` — IVF (inverted-file) ANN: a spherical k-means
   coarse quantizer (seeded numpy Lloyd on a driver-side sample) maps
@@ -39,46 +39,6 @@ from anomaly_detection_spark.sampling import bounded_sample_rows
 def _norm(c):
     return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
                               F.lit(0.0), lambda a, x: a + x))
-
-
-def _rerank_topk(scored: DataFrame, query_id: str, id_col: str,
-                 k: int) -> DataFrame:
-    """Exact-cosine re-rank of an ANN candidate set, vectorized: one
-    numpy row-wise dot per Arrow batch instead of an interpreted
-    ``aggregate(zip_with(...))`` fold per (query, candidate) pair —
-    higher-order-function lambdas are interpreted per ELEMENT (PLANS.md
-    lesson 1), which made the re-rank the wall at large query batches
-    (measured 11-35s -> ~2s for 1024 queries x 200k corpus,
-    tools/ann_bench.py). ``scored`` carries (query_id, id_col, _cv,
-    _qv); float32 inputs are widened to float64 BEFORE the multiply, so
-    candidate ordering can shift ~1e-7 vs the old float-multiply fold —
-    inside every consumer's rounding/recall margin."""
-    fields = {f.name: f.dataType.simpleString() for f in scored.schema.fields}
-    out_schema = (f"`{query_id}` {fields[query_id]}, "
-                  f"`{id_col}` {fields[id_col]}, cosine double")
-
-    def rr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
-            B = np.stack(pdf["_qv"].to_numpy()).astype(np.float64)
-            num = np.einsum("ij,ij->i", A, B)
-            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = num / den  # zero-norm -> inf/nan, same as the fold
-            yield pd.DataFrame({query_id: pdf[query_id].to_numpy(),
-                                id_col: pdf[id_col].to_numpy(),
-                                "cosine": cos})
-
-    ranked = scored.select(query_id, id_col, "_cv", "_qv").mapInPandas(
-        rr, schema=out_schema)
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        ranked.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, id_col, "cosine", "rank")
-    )
 
 
 def cosine_topk(
