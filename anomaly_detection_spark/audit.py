@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 AUDIT_SCHEMA = (
     "partition_key string, run_id string, committed_at double, "
-    "n_rows bigint, input_fingerprint bigint, "
+    "n_rows bigint, n_value bigint, input_fingerprint bigint, "
     "mean double, m2 double, "
     "n_error bigint, n_warning bigint, n_undefined bigint, "
     "verdict string, wall_s double"
@@ -121,6 +121,10 @@ def run_partitioned_checks(
 
     agg = scoped.groupBy("partition_key").agg(
         F.count(F.lit(1)).alias("n_rows"),
+        # non-null value count: mean is over non-null values only, so
+        # exact totals recover as mean * n_value (NOT mean * n_rows,
+        # which overcounts whenever the value column has nulls)
+        F.count(v).alias("n_value"),
         # order-insensitive lineage fingerprint of the partition's input
         # (bit_xor never overflows, unlike sum under ANSI mode)
         F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns
@@ -137,7 +141,7 @@ def run_partitioned_checks(
         "partition_key",
         F.lit(run_id).alias("run_id"),
         F.lit(time.time()).alias("committed_at"),
-        "n_rows", "input_fingerprint", "mean", "m2",
+        "n_rows", "n_value", "input_fingerprint", "mean", "m2",
         "n_error", "n_warning", "n_undefined",
         F.when(
             F.col("n_error") > F.col("n_rows") * F.lit(fail_on_error_rate),

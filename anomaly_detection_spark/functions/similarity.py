@@ -104,11 +104,9 @@ def cosine_topk_pandas(
             M = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-12, None)
             S = M @ Qn.T  # (batch, q)
             ids = pdf[id_col].to_numpy()
-            top = min(k, len(ids))
-            part = np.argpartition(-S, top - 1, axis=0)[:top]
             rows = []
             for j, qid in enumerate(qids):
-                sel = part[:, j]
+                sel = _topk_select(S[:, j], ids, k)
                 rows.append(pd.DataFrame({
                     "query_id": qid, id_col: ids[sel], "cosine": S[sel, j],
                 }))
@@ -125,37 +123,52 @@ def cosine_topk_pandas(
     )
 
 
-def sign_bucket_rows(
-    df: DataFrame, id_name: str, vec_col: str, planes: np.ndarray,
-    n_tables: int, n_planes: int,
-) -> DataFrame:
-    """(id, tbl, bkt) rows: all ``n_tables`` random-hyperplane sign
-    buckets per vector computed in ONE numpy GEMM per Arrow batch
-    (``sign(X @ P.T)`` over the stacked plane matrix) — a higher-order
-    `aggregate(zip_with(...))` formulation is interpreted per element and
-    measured ~an order slower on the corpus hot path (PLANS.md lesson #1).
-    Output is narrow: the dense vectors never leave the scan stage."""
-    shifts = np.arange(n_planes, dtype=np.int64)
+def _collect_queries(queries: DataFrame, query_id: str, vec_col: str):
+    """Driver-side query batch for the approximate paths (bounded by the
+    query-set contract: the prior shapes broadcast the same rows per
+    join). Returns (qids, Q, Qn) or (None, None, None) when empty."""
+    q_rows = queries.select(query_id, vec_col).collect()
+    if not q_rows:
+        return None, None, None
+    qids = [r[0] for r in q_rows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12, None)
+    return qids, Q, Qn
 
-    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (X @ planes.T >= 0).astype(np.int64)
-            bits = bits.reshape(len(pdf), n_tables, n_planes)
-            bkt = (bits << shifts).sum(axis=2)
-            yield pd.DataFrame({
-                id_name: np.repeat(pdf[id_name].to_numpy(), n_tables),
-                "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
-                "bkt": bkt.reshape(-1),
-            })
 
-    # keep the caller's id dtype (string doc ids are legal — a cast to
-    # long would throw under ANSI mode and change downstream join types)
-    id_type = df.select(id_name).schema[0].dataType.simpleString()
-    return df.select(id_name, vec_col).mapInPandas(
-        bucketize, schema=f"`{id_name}` {id_type}, tbl int, bkt bigint")
+def _topk_select(s: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k best scores under the engine-wide deterministic
+    (cosine desc, id asc) ordering. A bare argpartition keeps an
+    ARBITRARY member of a tied boundary group — with exact-duplicate
+    vectors straddling the k cut the survivor then depends on shuffle
+    order, making the approximate paths nondeterministic run-to-run.
+    Partition first, then re-rank only the boundary-tie candidates."""
+    if len(ids) <= k:
+        return np.arange(len(ids))
+    kth = s[np.argpartition(-s, k - 1)[:k]].min()
+    cand = np.flatnonzero(s >= kth)  # every boundary tie competes
+    order = np.lexsort((ids[cand], -s[cand]))[:k]
+    return cand[order]
+
+
+def _group_topk(pdf: pd.DataFrame, js: list, qids: list, Qn: np.ndarray,
+                *, query_id: str, id_col: str, vec_col: str,
+                k: int) -> pd.DataFrame:
+    """ONE GEMM scoring a group's member vectors against its probing
+    queries, emitting deterministic k-row partials per query. Shared by
+    :func:`ivf_topk` and :func:`lsh_topk` so the tie-break and dtype
+    handling cannot diverge between the two ANN paths."""
+    M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-12, None)
+    S = Mn @ Qn[js].T  # (members, probing queries)
+    ids = pdf[id_col].to_numpy()
+    sels = [_topk_select(S[:, jj], ids, k) for jj in range(len(js))]
+    return pd.DataFrame({
+        query_id: np.repeat(np.array([qids[j] for j in js], dtype=object),
+                            [len(s) for s in sels]),
+        id_col: np.concatenate([ids[s] for s in sels]),
+        "cosine": np.concatenate([S[s, jj] for jj, s in enumerate(sels)]),
+    })
 
 
 def spherical_kmeans(X: np.ndarray, k: int, *, iters: int = 20,
@@ -219,13 +232,10 @@ def ivf_topk(
     out_schema = (f"`{query_id}` {q_type}, `{id_col}` {id_type}, "
                   "cosine double")
 
-    q_rows = queries.select(query_id, vec_col).collect()
     spark = corpus.sparkSession
-    if not q_rows:
+    qids, _, Qn = _collect_queries(queries, query_id, vec_col)
+    if qids is None:
         return spark.createDataFrame([], out_schema + ", rank int")
-    qids = [r[0] for r in q_rows]
-    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    Qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12, None)
     p = min(n_probe, C.shape[0])
     probe = np.argpartition(-(Qn @ C.T), p - 1, axis=1)[:, :p]
     cell_queries: dict[int, list[int]] = {}
@@ -257,21 +267,8 @@ def ivf_topk(
         js = cell_queries.get(int(key[0]))
         if not js or not len(pdf):
             return pd.DataFrame({query_id: [], id_col: [], "cosine": []})
-        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True),
-                         1e-12, None)
-        S = Mn @ Qn[js].T  # (members, probing queries)
-        ids = pdf[id_col].to_numpy()
-        top = min(k, len(ids))
-        part = np.argpartition(-S, top - 1, axis=0)[:top]
-        out_q, out_i, out_c = [], [], []
-        for jj, j in enumerate(js):
-            sel = part[:, jj]
-            out_q.extend([qids[j]] * len(sel))
-            out_i.extend(ids[sel])
-            out_c.extend(S[sel, jj])
-        return pd.DataFrame({query_id: out_q, id_col: out_i,
-                             "cosine": out_c})
+        return _group_topk(pdf, js, qids, Qn, query_id=query_id,
+                           id_col=id_col, vec_col=vec_col, k=k)
 
     # explicit fan-out pin: the per-cell groups are Python/GEMM work and
     # the shuffle is small, so AQE would coalesce them (PLANS.md lesson 8)
@@ -300,8 +297,9 @@ def lsh_topk(
     seeded hyperplanes; candidates = same (table, bucket) as the query in
     ANY table. Shape mirrors :func:`ivf_topk`: query buckets are computed
     driver-side (the query batch is broadcast-small by contract), corpus
-    buckets in ONE GEMM per Arrow batch (same math as
-    :func:`sign_bucket_rows`); rows whose (table, bucket) no query
+    buckets in ONE GEMM per Arrow batch over the stacked plane matrix (a
+    higher-order aggregate(zip_with) formulation is interpreted per
+    element, PLANS.md lesson 1); rows whose (table, bucket) no query
     occupies are dropped at the scan, so the only wide op shuffles the
     matching buckets' (id, tbl, bkt, vector) rows. Per bucket one GEMM
     scores members x that bucket's queries and emits k-row partials;
@@ -322,13 +320,10 @@ def lsh_topk(
     out_schema = (f"`{query_id}` {q_type}, `{id_col}` {id_type}, "
                   "cosine double")
 
-    q_rows = queries.select(query_id, vec_col).collect()
     spark = corpus.sparkSession
-    if not q_rows:
+    qids, Q, Qn = _collect_queries(queries, query_id, vec_col)
+    if qids is None:
         return spark.createDataFrame([], out_schema + ", rank int")
-    qids = [r[0] for r in q_rows]
-    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    Qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12, None)
     qbits = (Q @ planes.T >= 0).astype(np.int64).reshape(
         len(qids), n_tables, n_planes)
     qbkt = (qbits << shifts).sum(axis=2)  # (q, tbl)
@@ -352,18 +347,21 @@ def lsh_topk(
                    << shifts).sum(axis=2)  # (rows, tbl)
             ids = pdf[id_col].to_numpy()
             vecs = pdf[vec_col].to_numpy()
-            out_i, out_t, out_b, out_v = [], [], [], []
-            for t in range(n_tables):
-                col = bkt[:, t]
-                keep = np.isin(col, tbl_buckets[t])
-                if not keep.any():
-                    continue
-                out_i.extend(ids[keep])
-                out_t.extend([t] * int(keep.sum()))
-                out_b.extend(col[keep])
-                out_v.extend(vecs[keep])
-            yield pd.DataFrame({id_col: out_i, "tbl": out_t, "bkt": out_b,
-                                vec_col: out_v})
+            # whole-batch numpy (no per-element list building on the
+            # corpus hot path): one kept-index array per table, then
+            # concatenate — PLANS.md lesson 1
+            idx = [np.flatnonzero(np.isin(bkt[:, t], tbl_buckets[t]))
+                   for t in range(n_tables)]
+            if not any(len(i) for i in idx):
+                continue
+            yield pd.DataFrame({
+                id_col: np.concatenate([ids[i] for i in idx]),
+                "tbl": np.repeat(np.arange(n_tables, dtype=np.int32),
+                                 [len(i) for i in idx]),
+                "bkt": np.concatenate([bkt[i, t]
+                                       for t, i in enumerate(idx)]),
+                vec_col: np.concatenate([vecs[i] for i in idx]),
+            })
 
     members = corpus.select(id_col, vec_col).mapInPandas(
         bucketize_keep,
@@ -374,21 +372,8 @@ def lsh_topk(
         js = bucket_queries.get((int(key[0]), int(key[1])))
         if not js or not len(pdf):
             return pd.DataFrame({query_id: [], id_col: [], "cosine": []})
-        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True),
-                         1e-12, None)
-        S = Mn @ Qn[js].T
-        ids = pdf[id_col].to_numpy()
-        top = min(k, len(ids))
-        part = np.argpartition(-S, top - 1, axis=0)[:top]
-        out_q, out_i, out_c = [], [], []
-        for jj, j in enumerate(js):
-            sel = part[:, jj]
-            out_q.extend([qids[j]] * len(sel))
-            out_i.extend(ids[sel])
-            out_c.extend(S[sel, jj])
-        return pd.DataFrame({query_id: out_q, id_col: out_i,
-                             "cosine": out_c})
+        return _group_topk(pdf, js, qids, Qn, query_id=query_id,
+                           id_col=id_col, vec_col=vec_col, k=k)
 
     # explicit fan-out pin against AQE coalescing (PLANS.md lesson 8)
     n_parts = min(max(len(bucket_queries), 1),

@@ -137,6 +137,9 @@ def corpus_constraint_codes(df: DataFrame, *,
         "row_id", "repo", "path", "commit", "lang", *keep,
         F.sha2(F.col("content"), 256).alias("content_sha256"),
         F.length("content").alias("content_len"),
+        # bytes, not characters: the throughput metric divides by wall
+        # time as "GB/s", which must hold for non-ASCII content too
+        F.octet_length("content").alias("content_bytes"),
         not_null(F.col("path")).alias("c_path_not_null"),
         matches_regex(F.col("commit"), r"^[0-9a-f]{40}$").alias("c_commit_format"),
         value_in_set(F.col("lang"), allowed_langs).alias("c_lang_domain"),

@@ -127,6 +127,8 @@ def tdigest_of(df: DataFrame, value: str, *, delta: int = 200,
             "_g", F.pmod(F.monotonically_increasing_id(), F.lit(merge_fanin))
         )
         .groupBy("_g")
+        # no fan-out pin (CLAUDE.md exemption): this is a sketch MERGE
+        # stage over tiny partials — AQE coalescing it is harmless
         .applyInPandas(lambda pdf: merge_group(pdf),
                        schema="means array<double>, weights array<double>")
     )

@@ -169,6 +169,7 @@ def welford_profile(df: DataFrame, value: str, key: str | None = None) -> DataFr
 
     out_schema = ("part_key string, n double, n_null double, mean double, "
                   "var_pop double, stddev_samp double, min double, max double")
+    # no fan-out pin (CLAUDE.md exemption): moment-partial MERGE stage
     return partials.groupBy("part_key").applyInPandas(merge, schema=out_schema)
 
 
@@ -213,5 +214,6 @@ def hll_distinct(df: DataFrame, col: str, key: str | None = None, *,
             "sketch": acc.to_bytes(),
         }])
 
+    # no fan-out pin (CLAUDE.md exemption): HLL-register MERGE stage
     return partials.groupBy("part_key").applyInPandas(
         merge, schema="part_key string, n_distinct_approx double, sketch binary")

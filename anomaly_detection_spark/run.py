@@ -202,37 +202,48 @@ def main(argv=None) -> int:
             checked = corpus_constraint_codes(corpus).withColumn(
                 BUCKET_COL, bucket)
         audit = run_partitioned_checks(
-            spark, checked.withColumn("content_len",
-                                      F.col("content_len").cast("double")),
-            partition_col=BUCKET_COL, value_col="content_len",
+            spark, checked.withColumn("content_bytes",
+                                      F.col("content_bytes").cast("double")),
+            partition_col=BUCKET_COL, value_col="content_bytes",
             code_cols=code_cols, ledger=ledger,
         )
         n_done = audit.count()
         totals = audit.agg(
             F.sum("n_rows").alias("rows"), F.sum("n_error").alias("errors"),
-            # per-partition mean * n_rows = content bytes validated,
-            # recovered from the ledger stats at zero extra scan cost
-            F.sum(F.col("mean") * F.col("n_rows")).alias("content_bytes"),
+            # per-partition mean * n_value = content bytes validated,
+            # recovered exactly from the ledger stats at zero extra scan
+            # cost (mean averages non-null values only, so n_value — not
+            # n_rows — is the matching count)
+            F.sum(F.col("mean") * F.col("n_value")).alias("content_bytes"),
         ).first()
         rows = totals["rows"] or 0
         errors = totals["errors"] or 0
         content_bytes = totals["content_bytes"] or 0.0
     else:
-        checked = corpus_constraint_codes(corpus)
+        if args.partitioned_input:
+            checked = corpus_constraint_codes(corpus, keep=[BUCKET_COL])
+        else:
+            checked = corpus_constraint_codes(corpus).withColumn(
+                BUCKET_COL, bucket)
         agg = checked.agg(
             F.count(F.lit(1)).alias("rows"),
             sum(F.sum(F.when(F.col(c) == -1, 1).otherwise(0)) for c in code_cols)
             .alias("errors"),
-            F.sum("content_len").alias("content_bytes"),
+            F.sum("content_bytes").alias("content_bytes"),
+            # MEASURED partition count: the distinct buckets the pass
+            # actually validated (deriving it from --partition-buckets
+            # made the partitions/hour metric tunable by a flag with
+            # zero change in computation)
+            F.countDistinct(BUCKET_COL).alias("n_parts"),
         ).first()
-        rows, errors, n_done = agg["rows"], agg["errors"], args.partition_buckets
+        rows, errors, n_done = agg["rows"], agg["errors"], agg["n_parts"]
         content_bytes = agg["content_bytes"] or 0.0
 
     wall = time.time() - t0
     # the north metric is "partitions/hour and GB/s scanned": report both
-    # (content bytes = the validated payload; the ASCII synth corpus has
-    # chars == bytes, and for --input parquet this is the logical column
-    # volume the checks consumed, not on-disk compressed size)
+    # (content bytes = octet_length of the validated payload — the
+    # logical column volume the checks consumed, not on-disk compressed
+    # size)
     result = {
         "rows": int(rows), "errors": int(errors),
         "partitions_done": int(n_done), "wall_s": round(wall, 2),

@@ -241,6 +241,7 @@ def streaming_curate(
             obs,
             F.avg("quality").alias("mean"),
             (F.var_pop("quality") * F.count("quality")).alias("m2"),
+            F.count("quality").alias("nv"),
             F.bit_xor(F.xxhash64("doc_id")).alias("fp"),
         )
         # overwrite the batch's OWN partition directory: redelivery after
@@ -256,6 +257,7 @@ def streaming_curate(
         m = obs.get
         ledger.append(spark.createDataFrame(
             [(key, rid, _time.time(), int(n_out),
+              int(m["nv"]) if m["nv"] is not None else 0,
               int(m["fp"]) if m["fp"] is not None else 0,
               float(m["mean"]) if m["mean"] is not None else float("nan"),
               float(m["m2"]) if m["m2"] is not None else float("nan"),

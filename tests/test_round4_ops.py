@@ -156,7 +156,9 @@ def test_grouped_fanout_survives_aqe_coalescing(spark):
     stage ran 63 buckets in ONE task (5.9s vs 0.98s parallel)."""
     import pandas as pd
 
-    from anomaly_detection_spark.operators.sequential import _grouped
+    from anomaly_detection_spark.operators.sequential import (
+        SERIES_BUCKETS, _grouped,
+    )
 
     df = spark.range(0, 20_000).select(
         (F.col("id") % 100).alias("series"),
@@ -171,4 +173,44 @@ def test_grouped_fanout_survives_aqe_coalescing(spark):
                    "series bigint, ts bigint, v double")
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # output partitioning == the pinned fan-out, not an AQE-coalesced 1
-    assert out.rdd.getNumPartitions() == min(64, n_shuffle) > 1
+    assert out.rdd.getNumPartitions() == min(SERIES_BUCKETS, n_shuffle) > 1
+
+
+def test_ann_topk_deterministic_tie_break(spark):
+    """Exact-duplicate vectors straddling the k cut must resolve by the
+    engine-wide (cosine desc, id asc) ordering regardless of shuffle
+    order — a bare per-bucket argpartition kept an ARBITRARY tied
+    member, making lsh_topk/ivf_topk nondeterministic run-to-run
+    (round-4 review finding)."""
+    import numpy as np
+
+    from anomaly_detection_spark.functions.similarity import (
+        _topk_select, ivf_topk, lsh_topk,
+    )
+
+    s = np.array([0.5, 0.9, 0.9, 0.9, 0.1])
+    ids = np.array([40, 30, 10, 20, 50])
+    assert ids[_topk_select(s, ids, 2)].tolist() == [10, 20]
+    # string ids take the same path (object-dtype lexsort)
+    sids = np.array(["d40", "d30", "d10", "d20", "d50"], dtype=object)
+    assert sids[_topk_select(s, sids, 2)].tolist() == ["d10", "d20"]
+
+    dim = 8
+    base = np.zeros(dim)
+    base[0] = 1.0
+    rows = [(i, base.tolist()) for i in range(8)]     # 8 exact ties
+    rng = np.random.default_rng(7)
+    for i in range(8, 12):                            # lower-cosine fill
+        v = rng.normal(size=dim)
+        rows.append(((0.5 * base + 0.1 * v / np.linalg.norm(v)), i))
+    rows = rows[:8] + [(i, v.tolist()) for (v, i) in rows[8:]]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>").repartition(5)
+    queries = spark.createDataFrame(
+        [(100, base.tolist())], "query_id bigint, embedding array<double>")
+
+    ivf = ivf_topk(corpus, queries, k=3, n_cells=2, n_probe=2,
+                   train_sample=12)
+    lsh = lsh_topk(corpus, queries, k=3, n_planes=2, n_tables=2)
+    for got in (ivf.collect(), lsh.collect()):
+        assert sorted(r["vec_id"] for r in got) == [0, 1, 2]
