@@ -958,12 +958,6 @@ FROM events
 # rows-only queries (no SQL oracle: approx/stateful/hash-specific)
 # ---------------------------------------------------------------------------
 
-def q_simhash_signatures_documents(spark, sf_dir) -> DataFrame:
-    from anomaly_detection_spark.functions.dedup import simhash_signatures
-
-    return simhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
-
-
 def q_filtering_check_events(spark, sf_dir) -> DataFrame:
     from anomaly_detection_spark.operators.sequential import filtering_check
 
@@ -1054,7 +1048,6 @@ REGISTRY: dict[str, tuple] = {
     "shift_avg_time_features_events": (q_shift_avg_time_features_events, SQL_SHIFT_AVG_TIME),
     # rows-only (hash-specific signature output; the operator's pair
     # semantics are oracle-backed via simhash_near_dup_documents)
-    "simhash_signatures_documents": (q_simhash_signatures_documents, None),
     "filtering_check_events": (q_filtering_check_events, None),
     # round-4 planted-invariant conversions (formerly rows-only)
     "iforest_embeddings": (q_iforest_embeddings, SQL_IFOREST_PLANTED),
@@ -2426,10 +2419,31 @@ def q_simhash_near_dup_documents(spark, sf_dir) -> DataFrame:
     planted identical clones MUST be found with hamming = 0 (identical
     text -> identical 64-bit signature -> every pigeonhole block joins),
     which both engines can state exactly; the pandas-hash signature
-    itself stays engine-internal."""
-    from anomaly_detection_spark.functions.dedup import simhash_near_dup_pairs
+    itself stays engine-internal. Since round 4 this query also carries
+    the signature-level invariants that used to live in a rows-only
+    signature-dump query: exactly one signature per document over the
+    FULL documents table, and zero identical-text groups with more than
+    one distinct signature (the determinism claim a DuckDB twin can
+    co-state without computing the engine-internal hash)."""
+    from anomaly_detection_spark.functions.dedup import (
+        simhash_near_dup_pairs, simhash_signatures,
+    )
 
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    full = _docs(spark, sf_dir)
+    sig = simhash_signatures(full, "doc_id", "text")
+    sig_stats = (
+        full.select("doc_id", "text").join(sig, "doc_id")
+        .groupBy("text")
+        .agg(F.count_distinct("simhash").alias("_nsig"))
+        .agg(
+            F.sum(F.when(F.col("_nsig") > 1, 1).otherwise(0))
+            .cast("bigint").alias("multi_sig_text_groups"),
+        )
+        .crossJoin(sig.agg(F.count(F.lit(1)).alias("n_sigs")))
+        .crossJoin(full.agg(F.count(F.lit(1)).alias("n_docs")))
+    )
+
+    d = full.filter(F.col("doc_id") < 100)
     both = F.array(
         F.struct(F.col("doc_id"), F.col("text")),
         F.struct((F.col("doc_id") + 100_000).alias("doc_id"),
@@ -2448,13 +2462,19 @@ def q_simhash_near_dup_documents(spark, sf_dir) -> DataFrame:
         "id_a", "id_b",
         F.coalesce("hamming", F.lit(-1)).cast("int").alias("hamming"),
         F.col("hamming").isNotNull().alias("found"),
+    ).crossJoin(F.broadcast(sig_stats)).select(
+        "id_a", "id_b", "hamming", "found",
+        "n_docs", "n_sigs", "multi_sig_text_groups",
     )
 
 
 SQL_SIMHASH_NEAR_DUP = """
-SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
-       0 AS hamming, TRUE AS found
-FROM documents WHERE doc_id < 5
+WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT d.doc_id AS id_a, d.doc_id + 100000 AS id_b,
+       0 AS hamming, TRUE AS found,
+       s.n_docs AS n_docs, s.n_docs AS n_sigs,
+       CAST(0 AS BIGINT) AS multi_sig_text_groups
+FROM documents d, s WHERE d.doc_id < 5
 """
 
 
@@ -2609,12 +2629,11 @@ REGISTRY.update({
 # ---------------------------------------------------------------------------
 
 _ROWS_ONLY_PRIORITY = [
-    # round 4: the entire seeded-model family (iforest, retrain, rrcf,
-    # pca, recon, codisp, forecast, multimodal) moved to oracle-backed
-    # planted-invariant queries; the only remaining rows-only query is
-    # the raw simhash signature dump (hash-specific output — its pair
-    # semantics are oracle-backed via simhash_near_dup_documents).
-    "simhash_signatures_documents",
+    # round 4 (late): empty — the last rows-only query (the raw simhash
+    # signature dump) folded its one checkable claim (one deterministic
+    # signature per doc, identical text => identical signature) into the
+    # oracle-backed simhash_near_dup_documents, so every registered
+    # query now has a DuckDB twin.
 ]
 
 

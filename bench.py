@@ -43,7 +43,7 @@ HEADLINE = [
     "lang_id_documents",               # marker-count expressions
     "fingerprint_documents",           # rolling-hash HOF
     "minhash_near_dup_documents",      # LSH shuffle + verify join
-    "simhash_signatures_documents",    # vectorized pandas UDF
+    "simhash_near_dup_documents",      # vectorized pandas UDF + pigeonhole join
     "cosine_topk_embeddings",          # broadcast crossJoin + HOF dot
     "iforest_embeddings",              # per-group numpy forest + invariant
     "macd_cusum_events",               # dual-EMA + decayed cusum recurrences
