@@ -214,3 +214,17 @@ def test_ann_topk_deterministic_tie_break(spark):
     lsh = lsh_topk(corpus, queries, k=3, n_planes=2, n_tables=2)
     for got in (ivf.collect(), lsh.collect()):
         assert sorted(r["vec_id"] for r in got) == [0, 1, 2]
+
+
+def test_registry_fully_oracle_backed():
+    """Round-4 end state: exactly 50 registered queries, every one with
+    a DuckDB oracle (zero rows-only), and every bench.py headline entry
+    resolves to a registered query — guards against future drift."""
+    import bench
+    from anomaly_detection_spark.queries import REGISTRY
+
+    assert len(REGISTRY) == 50
+    rows_only = [k for k, (_, sql) in REGISTRY.items() if sql is None]
+    assert rows_only == []
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert missing == []
