@@ -506,8 +506,8 @@ def recon_drift_check(
     _, _, Vt = np.linalg.svd(X - mu, full_matrices=False)
     comps = Vt[:n_components]
     bc = spark.sparkContext.broadcast((mu, comps))
-    full_w = np.exp(np.linspace(0, 1, len_window))
 
+    from anomaly_detection_spark.operators.neural import ewm_threshold
     from anomaly_detection_spark.operators.sequential import (
         _grouped, _out_schema, _per_series,
     )
@@ -519,15 +519,7 @@ def recon_drift_check(
         Xg = g[feats].to_numpy(dtype=np.float64)
         recon = mu_ + (Xg - mu_) @ comps_.T @ comps_
         err = ((Xg - recon) ** 2).mean(axis=1)
-        thr = np.empty(len(err))
-        # warm-up rows use the tail of the weight vector (reference
-        # weights[-len(window):]); full windows via sliding view
-        for i in range(min(len_window - 1, len(err))):
-            w = full_w[-(i + 1):]
-            thr[i] = K * np.dot(err[:i + 1], w) / w.sum()
-        if len(err) >= len_window:
-            sw = np.lib.stride_tricks.sliding_window_view(err, len_window)
-            thr[len_window - 1:] = K * (sw @ full_w) / full_w.sum()
+        thr = ewm_threshold(err, K, len_window)
         o = g[cols].copy()
         o["recon_err"] = err
         o[out] = np.where(err >= thr, -1, 1).astype(np.int32)

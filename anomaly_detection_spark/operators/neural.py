@@ -1,0 +1,362 @@
+"""Hand-rolled numpy MLP kernels for the reference's two Keras networks.
+
+The reference wraps tensorflow.keras for exactly two small dense nets:
+
+* the GAN detector's autoencoder
+  (/root/reference/src/algorithms/gan.py:293-323): encoder
+  Dense(10,linear)->Dense(10,tanh)->Dense(10,tanh)->Dense(latent,tanh),
+  decoder Dense(10,tanh)->Dense(10,relu)->Dense(10,relu)->
+  Dense(D,linear), MSE loss, Adam(lr=0.001, beta_1=0.95), 100 epochs,
+  batch 100;
+* the Trend_Classification MLP
+  (/root/reference/src/algorithms/trend_classification.py:184-193):
+  Dense(N,relu)->Dense(N/2,linear)->Dense(3,softmax), categorical
+  cross-entropy, Adam(lr=1e-4, beta_1=0.95), 50 epochs, batch 10,
+  trained on synthetic up/flat/down ramps (ibid.:159-177).
+
+No deep-learning dependency exists in this stack, so forward, backprop
+and Adam are ~100 lines of numpy below — same architectures, losses,
+optimizer hyper-parameters and Glorot-uniform init family, seeded and
+fully deterministic. Training is a DRIVER-side fit on a bounded sample
+(one model per check, mirroring the reference's single trained net);
+the fitted weight list is broadcast and inference is whole-batch GEMMs
+inside the bucketed per-series scan — zero per-row Python, and the
+weight broadcast is a few KB regardless of table size.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from anomaly_detection_spark.codes import (
+    ERROR_CODE, OK_CODE, UNDEFINED_CODE, WARNING_CODE,
+)
+from anomaly_detection_spark.sampling import bounded_sample_rows
+
+__all__ = [
+    "fit_autoencoder", "fit_trend_classifier", "mlp_predict",
+    "ewm_threshold", "gan_check", "trend_nn_check",
+]
+
+
+# ---------------------------------------------------------------------------
+# minimal MLP: Glorot-uniform init, forward, backprop, Adam
+# ---------------------------------------------------------------------------
+
+def _glorot(rng: np.random.Generator, fan_in: int, fan_out: int) -> np.ndarray:
+    lim = np.sqrt(6.0 / (fan_in + fan_out))
+    return rng.uniform(-lim, lim, size=(fan_in, fan_out))
+
+
+def _act(z: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "linear":
+        return z
+    if kind == "relu":
+        return np.maximum(z, 0.0)
+    if kind == "tanh":
+        return np.tanh(z)
+    if kind == "softmax":
+        e = np.exp(z - z.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
+    raise ValueError(kind)
+
+
+def _act_grad(a: np.ndarray, kind: str) -> np.ndarray:
+    """d activation / d pre-activation, expressed via the OUTPUT a."""
+    if kind == "linear":
+        return np.ones_like(a)
+    if kind == "relu":
+        return (a > 0.0).astype(a.dtype)
+    if kind == "tanh":
+        return 1.0 - a * a
+    raise ValueError(kind)  # softmax is fused with the CE delta
+
+
+def _init_net(dims: Sequence[int], seed: int):
+    rng = np.random.default_rng(seed)
+    return [(_glorot(rng, dims[i], dims[i + 1]), np.zeros(dims[i + 1]))
+            for i in range(len(dims) - 1)], rng
+
+
+def mlp_predict(weights, acts: Sequence[str], X: np.ndarray) -> np.ndarray:
+    """Forward pass — one GEMM per layer over the whole batch."""
+    a = np.asarray(X, dtype=np.float64)
+    for (W, b), kind in zip(weights, acts):
+        a = _act(a @ W + b, kind)
+    return a
+
+
+def _train(weights, acts, X, Y, *, loss: str, epochs: int, batch: int,
+           lr: float, beta1: float, rng, beta2: float = 0.999,
+           eps: float = 1e-7) -> None:
+    """In-place mini-batch Adam. ``loss``: 'mse' (linear output) or
+    'ce' (softmax output; delta fuses softmax+cross-entropy)."""
+    m = [(np.zeros_like(W), np.zeros_like(b)) for W, b in weights]
+    v = [(np.zeros_like(W), np.zeros_like(b)) for W, b in weights]
+    t = 0
+    n = len(X)
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        for s in range(0, n, batch):
+            idx = order[s:s + batch]
+            xb, yb = X[idx], Y[idx]
+            # forward, keeping activations
+            outs = [xb]
+            for (W, b), kind in zip(weights, acts):
+                outs.append(_act(outs[-1] @ W + b, kind))
+            # output delta (d loss / d pre-activation of last layer)
+            if loss == "mse":
+                delta = 2.0 * (outs[-1] - yb) / yb.size
+            else:  # softmax + categorical cross-entropy
+                delta = (outs[-1] - yb) / len(yb)
+            t += 1
+            for li in range(len(weights) - 1, -1, -1):
+                W, b = weights[li]
+                gW = outs[li].T @ delta
+                gb = delta.sum(axis=0)
+                if li > 0:
+                    delta = (delta @ W.T) * _act_grad(outs[li], acts[li - 1])
+                # Adam update
+                mW, mb = m[li]
+                vW, vb = v[li]
+                mW[:] = beta1 * mW + (1 - beta1) * gW
+                mb[:] = beta1 * mb + (1 - beta1) * gb
+                vW[:] = beta2 * vW + (1 - beta2) * gW * gW
+                vb[:] = beta2 * vb + (1 - beta2) * gb * gb
+                c1 = 1 - beta1 ** t
+                c2 = 1 - beta2 ** t
+                W -= lr * (mW / c1) / (np.sqrt(vW / c2) + eps)
+                b -= lr * (mb / c1) / (np.sqrt(vb / c2) + eps)
+
+
+# ---------------------------------------------------------------------------
+# the two reference nets
+# ---------------------------------------------------------------------------
+
+def fit_autoencoder(X: np.ndarray, n_latent: int, *, hidden: int = 10,
+                    epochs: int = 100, batch: int = 100, lr: float = 1e-3,
+                    beta1: float = 0.95, seed: int = 0):
+    """Train the GAN detector's dense autoencoder (gan.py:293-323) on
+    already-normalized rows X. Returns (weights, acts, threshold) where
+    threshold = max training reconstruction MSE (gan.py:325-328)."""
+    X = np.asarray(X, dtype=np.float64)
+    d = X.shape[1]
+    dims = [d, hidden, hidden, hidden, n_latent, hidden, hidden, hidden, d]
+    acts = ["linear", "tanh", "tanh", "tanh", "tanh", "relu", "relu",
+            "linear"]
+    weights, rng = _init_net(dims, seed)
+    _train(weights, acts, X, X, loss="mse", epochs=epochs, batch=batch,
+           lr=lr, beta1=beta1, rng=rng)
+    err = ((mlp_predict(weights, acts, X) - X) ** 2).mean(axis=1)
+    return weights, acts, float(err.max()) if len(err) else 1.0
+
+
+def fit_trend_classifier(N: int, *, num_samples: int = 1000,
+                         train_noise: float = 0.05, epochs: int = 50,
+                         batch: int = 10, lr: float = 1e-4,
+                         beta1: float = 0.95, seed: int = 0):
+    """Train the Trend_Classification MLP on synthetic up/flat/down
+    ramps exactly as the reference generates them
+    (trend_classification.py:159-177): class 0 downtrend linspace(1,0),
+    1 flat 0.5*ones, 2 uptrend linspace(0,1), each + N(0, train_noise)
+    noise, normalized (s - avg) / (max - min). Returns (weights, acts)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 3, size=num_samples)
+    noise = rng.normal(0.0, train_noise, size=(num_samples, N))
+    base = np.empty((num_samples, N))
+    base[a == 1] = 0.5
+    base[a == 2] = np.linspace(0.0, 1.0, N)
+    base[a == 0] = np.linspace(1.0, 0.0, N)
+    x = base + noise
+    x = (x - x.mean(axis=1, keepdims=True)) / (
+        x.max(axis=1, keepdims=True) - x.min(axis=1, keepdims=True))
+    labels = np.eye(3)[a]
+    dims = [N, N, max(1, N // 2), 3]
+    acts = ["relu", "linear", "softmax"]
+    weights, _ = _init_net(dims, seed + 1)
+    _train(weights, acts, x, labels, loss="ce", epochs=epochs, batch=batch,
+           lr=lr, beta1=beta1, rng=rng)
+    return weights, acts
+
+
+# ---------------------------------------------------------------------------
+# shared exp-weighted moving error threshold (gan.py:156-162)
+# ---------------------------------------------------------------------------
+
+def ewm_threshold(err: np.ndarray, K: float, len_window: int) -> np.ndarray:
+    """threshold_t = K * wavg(last len_window errors INCLUDING err_t),
+    weights exp(linspace(0,1,len_window)) tail-aligned; warm-up rows use
+    the tail of the weight vector (reference weights[-len(window):])."""
+    full_w = np.exp(np.linspace(0, 1, len_window))
+    thr = np.empty(len(err))
+    for i in range(min(len_window - 1, len(err))):
+        w = full_w[-(i + 1):]
+        thr[i] = K * np.dot(err[:i + 1], w) / w.sum()
+    if len(err) >= len_window:
+        sw = np.lib.stride_tricks.sliding_window_view(err, len_window)
+        thr[len_window - 1:] = K * (sw @ full_w) / full_w.sum()
+    return thr
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def gan_check(
+    spark, df: DataFrame, keys, order: str, features: Sequence[str], *,
+    n_latent: int = 3, K: float = 3.0, len_window: int = 20,
+    hidden: int = 10, epochs: int = 100, batch: int = 100,
+    train_sample: int = 4096, train_df: DataFrame | None = None,
+    seed: int = 0, extra_cols: Sequence[str] = (), out: str = "code",
+) -> DataFrame:
+    """The reference's GAN check with its ACTUAL autoencoder
+    (gan.py:103-209): inputs min/max-normalized with the train-set
+    min/max/avg (avg=(min+max)/2, gan.py:260-272), scored by per-row
+    reconstruction MSE against the exponentially-weighted moving
+    threshold K*wavg(last len_window errors, incl. current). Error
+    (code -1) when err >= threshold, else OK — the reference emits no
+    warning ladder here.
+
+    ``train_df`` lets the model train on a clean slice (the reference
+    trains from a separate train_data file, gan.py:97-98); defaults to
+    ``df``. Fit is driver-side on a bounded sample; scoring is batch
+    GEMMs per bucket of series.
+    """
+    feats = list(features)
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+
+    rows = bounded_sample_rows(
+        (train_df if train_df is not None else df).select(*feats),
+        train_sample, seed=seed)
+    X = np.array([[r[c] for c in feats] for r in rows], dtype=np.float64)
+    mn, mx = float(X.min()), float(X.max())  # global scalars, gan.py:261-263
+    av = (mn + mx) / 2.0
+    Xn = (X - av) / (mx - mn) if mn != mx else X
+    weights, acts, _ = fit_autoencoder(
+        Xn, n_latent, hidden=hidden, epochs=epochs, batch=batch, seed=seed)
+    bc = spark.sparkContext.broadcast((mn, mx, av, weights, acts))
+
+    from anomaly_detection_spark.operators.sequential import (
+        _grouped, _out_schema, _per_series,
+    )
+
+    cols = list(keys_l) + [order] + list(extra_cols)
+
+    def one(g: pd.DataFrame) -> pd.DataFrame:
+        mn_, mx_, av_, w_, a_ = bc.value
+        Xg = g[feats].to_numpy(dtype=np.float64)
+        if mn_ != mx_:
+            Xg = (Xg - av_) / (mx_ - mn_)
+        err = ((mlp_predict(w_, a_, Xg) - Xg) ** 2).mean(axis=1)
+        thr = ewm_threshold(err, K, len_window)
+        o = g[cols].copy()
+        o["recon_err"] = err
+        o[out] = np.where(err >= thr, ERROR_CODE, OK_CODE).astype(np.int32)
+        return o
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _per_series(pdf, keys_l, one)
+
+    return _grouped(df.select(*cols, *feats), keys_l, order, fn,
+                    _out_schema(df, cols, f"recon_err double, {out} int"))
+
+
+def trend_nn_check(
+    spark, df: DataFrame, keys, order: str, value: str, *,
+    N: int = 10, averaging: int = 3, prediction_conv: int = 3,
+    amp_scale: float = 1.0, warning_stages: Sequence[float] = (0.5,),
+    num_samples: int = 1000, train_noise: float = 0.05, seed: int = 0,
+    extra_cols: Sequence[str] = (), out: str = "code",
+) -> DataFrame:
+    """Trend_Classification with its ACTUAL MLP
+    (trend_classification.py:54-152): per row, the feature vector is the
+    last N trailing-``averaging`` means; its (max-min)/amp_scale is the
+    amplitude; flat windows predict class 1, others are normalized and
+    classified by the trained net (0 down / 1 flat / 2 up); predictions
+    are mean-convolved over ``prediction_conv`` rows and mapped through
+    value_normalized = 1 + (avg_pred - 1)*amplitude onto the standard
+    [0,2] band ladder (>2 / <0 error, warning stages about 1).
+
+    Two reference quirks handled explicitly:
+    * the inference normalization keeps the reference's precedence bug
+      ``(FV - avg(FV)) / max(FV) - min(FV)`` (trend_classification.py:110
+      — divides by max only, then SUBTRACTS min) so the net sees exactly
+      what the reference's net sees;
+    * the reference then OVERWRITES its rolling FV state with that
+      normalized copy (ibid.:110-111 mutate self.FV, and the next insert
+      appends to the mutated array), so its feature window degrades into
+      a mix of normalized and raw entries. That is a state-corruption
+      bug, not semantics — like the Percentile off-by-one (SURVEY.md
+      §2.4) it is documented, and here the clean recurrence (windows
+      always over raw trailing means) is computed instead, which is also
+      what makes the scan one vectorized pass.
+
+    Training needs no input data (synthetic ramps, seeded) and happens
+    once on the driver; scoring is sliding-window GEMMs per series.
+    """
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    weights, acts = fit_trend_classifier(
+        N, num_samples=num_samples, train_noise=train_noise, seed=seed)
+    bc = spark.sparkContext.broadcast((weights, acts))
+    stages = sorted(warning_stages)
+
+    from anomaly_detection_spark.operators.sequential import (
+        _grouped, _out_schema, _per_series,
+    )
+
+    cols = list(keys_l) + [order] + list(extra_cols)
+
+    def one(g: pd.DataFrame) -> pd.DataFrame:
+        w_, a_ = bc.value
+        vals = g[value].to_numpy(dtype=np.float64)
+        T = len(vals)
+        code = np.full(T, UNDEFINED_CODE, dtype=np.int64)
+        vn = np.full(T, np.nan)
+        if T >= N:
+            means = pd.Series(vals).rolling(
+                averaging, min_periods=1).mean().to_numpy()
+            Wd = np.lib.stride_tricks.sliding_window_view(means, N)
+            mx = Wd.max(axis=1)
+            mn = Wd.min(axis=1)
+            amp = (mx - mn) / amp_scale
+            flat = mx == mn
+            preds = np.ones(len(Wd))
+            if (~flat).any():
+                nw = Wd[~flat]
+                # reference precedence bug kept verbatim: /max then -min
+                # (max(FV)==0 yields the same inf/nan garbage -> argmax 0
+                # the reference's net would produce; errstate keeps the
+                # executor logs clean)
+                with np.errstate(divide="ignore", invalid="ignore",
+                                 over="ignore"):
+                    norm = (nw - nw.mean(axis=1, keepdims=True)) \
+                        / nw.max(axis=1, keepdims=True) \
+                        - nw.min(axis=1, keepdims=True)
+                    preds[~flat] = mlp_predict(w_, a_, norm).argmax(axis=1)
+            avgp = pd.Series(preds).rolling(
+                prediction_conv, min_periods=prediction_conv).mean() \
+                .to_numpy()
+            v = 1.0 + (avgp - 1.0) * amp  # on [0, 2]
+            centered = v - 1.0
+            full = ~np.isnan(avgp)
+            c = np.where(
+                np.abs(centered) > 1.0, ERROR_CODE,
+                np.where(np.abs(centered) > (stages[0] if stages else
+                                             np.inf),
+                         WARNING_CODE, OK_CODE))
+            code[N - 1:][full] = c[full]
+            vn[N - 1:] = v
+        o = g[cols].copy()
+        o["trend_value"] = vn
+        o[out] = code.astype(np.int32)
+        return o
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _per_series(pdf, keys_l, one)
+
+    return _grouped(df.select(*cols, value), keys_l, order, fn,
+                    _out_schema(df, cols, f"trend_value double, {out} int"))
