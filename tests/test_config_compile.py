@@ -72,10 +72,46 @@ def test_sequential_detectors_from_config(spark):
 
 
 def test_unsupported_algorithms_raise(spark):
-    for alg in ["GAN()", "RRCF_trees()", "fb_Prophet()"]:
-        with pytest.raises(UnsupportedAlgorithm):
-            compile_detector(alg, {}, keys="series", order="ts",
-                             value="value")
+    with pytest.raises(UnsupportedAlgorithm):
+        compile_detector("fb_Prophet()", {}, keys="series", order="ts",
+                         value="value")
+
+
+def test_model_backed_algorithms_compile(spark):
+    """GAN / Trend_Classification / RRCF_trees configs compile to the
+    hand-rolled-net operators (round-4 graduation): every row gets a
+    verdict, warm-up rows rejoin as Undefined."""
+    import json
+
+    vals = [1.0, 1.2, 0.9, 1.1, 1.0, 1.3, 0.8, 1.05, 1.0, 1.1,
+            1.2, 0.95, 1.0, 1.15, 0.9, 1.0]
+    df = series_df(spark, vals)
+    cfg = {
+        "anomaly_detection_alg": [
+            "GAN()", "Trend_Classification()", "RRCF_trees()"],
+        "anomaly_detection_conf": [
+            {"train_conf": {"N_shifts": 2, "N_latent": 1, "K": 3.0,
+                            "len_window": 5}},
+            {"N": 4, "averaging": 2, "prediction_conv": 2,
+             "amp_scale": 1.0, "warning_stages": [0.5],
+             "num_samples": 200, "train_noise": 0.05},
+            {"num_trees": 4, "tree_size": 8, "threshold": 10.0},
+        ],
+    }
+    out = compile_config(cfg)(df).orderBy("ts").collect()
+    assert len(out) == len(vals)
+    codes = {c: [r[c] for r in out]
+             for c in ("code_0_gan", "code_1_trend_classification",
+                       "code_2_rrcf_trees", "status_code")}
+    for c, seq in codes.items():
+        assert all(v in (-1, 0, 1, 2) for v in seq), (c, seq)
+    # GAN's 2 shift rows rejoin as Undefined
+    assert codes["code_0_gan"][:2] == [2, 2]
+    assert set(codes["code_0_gan"][2:]) <= {-1, 1}
+    # trend warm-up: N + conv - 2 = 4 rows undefined
+    assert codes["code_1_trend_classification"][:4] == [2, 2, 2, 2]
+    # config round-trips through JSON (the reference's file shape)
+    assert json.loads(json.dumps(cfg)) == cfg
 
 
 def test_config_from_file(spark, tmp_path):
