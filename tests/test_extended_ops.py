@@ -225,6 +225,45 @@ def test_forecast_band_check_seasonal(spark):
     assert len(flagged) <= 5  # seasonal swing itself is NOT flagged
 
 
+def test_forecast_changepoint_trend(spark):
+    """Prophet's piecewise-linear trend (hinge basis + ridge-shrunk
+    slope deltas, Taylor & Letham 2018 eq. 4): a tent-shaped trend that
+    a straight line cannot follow fits tightly with changepoints — the
+    residual band shrinks by >2x — and a planted off-band spike still
+    flags without the slope break flooding errors. n_changepoints=0
+    keeps the original OLS numerics (existing seasonal test covers it)."""
+    from anomaly_detection_spark.operators.forecast import (
+        forecast_band_check, seasonal_forecast,
+    )
+
+    rng = np.random.default_rng(33)
+    n, period = 240, 24.0
+    t = np.arange(n, dtype=float)
+    trend = np.where(t < 120.0, 10.0 + 0.08 * t,
+                     10.0 + 0.08 * 120.0 - 0.08 * (t - 120.0))
+    y = trend + 2.0 * np.sin(2 * np.pi * t / period) \
+        + rng.normal(0, 0.15, n)
+    y[200] += 6.0
+    df = spark.createDataFrame(
+        [("s", float(i), float(v)) for i, v in enumerate(y)],
+        "series string, ts double, value double",
+    )
+    kw = dict(period=period, harmonics=2, z=4.0)
+    flat = seasonal_forecast(df, "series", "ts", "value", **kw).toPandas()
+    pw = seasonal_forecast(df, "series", "ts", "value",
+                           n_changepoints=10, **kw).toPandas()
+
+    def half_band(p):
+        return float((p.yhat_upper - p.yhat).iloc[0])
+
+    assert half_band(pw) < 0.5 * half_band(flat)
+    out = forecast_band_check(df, "series", "ts", "value",
+                              n_changepoints=10, **kw)
+    codes = {r["ts"]: r["code"] for r in out.collect()}
+    assert codes[200.0] == -1
+    assert sum(1 for c in codes.values() if c == -1) <= 5
+
+
 def test_sequential_bucketing_handles_hot_series(spark):
     """One series with 30k rows among 500 tiny series: the bucketed
     applyInPandas path must stay correct (hot series confined to one
