@@ -65,6 +65,7 @@ HEADLINE = [
     "ivf_topk_embeddings",             # IVF ANN + recall invariant
     "dedup_components_documents",      # transitive pair-graph resolution
     "drift_suite",                     # psi x3 + partition-mean drift
+    "recon_drift_events",              # PCA + real-AE recon drift (late r4)
 ]
 
 
