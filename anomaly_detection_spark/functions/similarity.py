@@ -272,8 +272,8 @@ def ivf_topk(
 
     # explicit fan-out pin: the per-cell groups are Python/GEMM work and
     # the shuffle is small, so AQE would coalesce them (PLANS.md lesson 8)
-    n_parts = min(max(len(probed), 1),
-                  int(spark.conf.get("spark.sql.shuffle.partitions")))
+    from anomaly_detection_spark.session import shuffle_partitions
+    n_parts = min(max(len(probed), 1), shuffle_partitions(spark))
     partials = (
         indexed.repartition(n_parts, "cell")
         .groupBy("cell")
@@ -376,15 +376,18 @@ def lsh_topk(
                            id_col=id_col, vec_col=vec_col, k=k)
 
     # explicit fan-out pin against AQE coalescing (PLANS.md lesson 8)
-    n_parts = min(max(len(bucket_queries), 1),
-                  int(spark.conf.get("spark.sql.shuffle.partitions")))
+    from anomaly_detection_spark.session import shuffle_partitions
+    n_parts = min(max(len(bucket_queries), 1), shuffle_partitions(spark))
     partials = (
         members.repartition(n_parts, "tbl", "bkt")
         .groupBy("tbl", "bkt")
         .applyInPandas(bucket_topk, schema=out_schema)
-        # a pair matching in several tables yields identical-cosine rows;
-        # collapse them on the tiny partial set before ranking
-        .dropDuplicates([query_id, id_col])
+        # a pair matching in several tables is scored by DIFFERENT
+        # per-bucket GEMMs whose summation order may differ in the last
+        # ulp — max over the duplicates (not dropDuplicates, which keeps
+        # a shuffle-order-dependent survivor) keeps the rank input
+        # deterministic
+        .groupBy(query_id, id_col).agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

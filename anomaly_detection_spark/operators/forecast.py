@@ -85,10 +85,17 @@ def seasonal_forecast(
             band = np.full_like(y, np.nan)
         else:
             if cps is not None:
-                # ridge on the hinge block only: solve (A'A + P)b = A'y
+                # ridge on the hinge block only, solved as an AUGMENTED
+                # least squares (sqrt-penalty rows appended) rather than
+                # the normal equations: lstsq stays rank-deficiency-safe
+                # when the unpenalized columns are collinear (constant
+                # order column, aliased harmonics), where solve() on
+                # A'A + P would raise or explode
                 P = np.zeros(k)
                 P[2:2 + len(cps)] = changepoint_ridge
-                coef = np.linalg.solve(A.T @ A + np.diag(P), A.T @ y)
+                A_aug = np.vstack([A, np.diag(np.sqrt(P))])
+                y_aug = np.concatenate([y, np.zeros(k)])
+                coef, *_ = np.linalg.lstsq(A_aug, y_aug, rcond=None)
             else:
                 coef, *_ = np.linalg.lstsq(A, y, rcond=None)
             yhat = A @ coef

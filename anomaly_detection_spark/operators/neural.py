@@ -33,6 +33,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from anomaly_detection_spark.codes import (
     ERROR_CODE, OK_CODE, UNDEFINED_CODE, WARNING_CODE,
@@ -256,10 +257,27 @@ def gan_check(
     feats = list(features)
     keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
 
+    from anomaly_detection_spark.operators.sequential import (
+        _grouped, _out_schema, _per_series,
+    )
+
+    cols = list(keys_l) + [order] + list(extra_cols)
+
     rows = bounded_sample_rows(
         (train_df if train_df is not None else df).select(*feats),
         train_sample, seed=seed)
     X = np.array([[r[c] for c in feats] for r in rows], dtype=np.float64)
+    # nulls arrive as NaN; one NaN would poison the global min/max and
+    # hence every verdict — train on the finite rows only (the reference
+    # never inserts a failed-check message, gan.py:109-122)
+    X = X[np.isfinite(X).all(axis=1)] if X.size else X
+    if X.size == 0:
+        # no trainable sample (empty slice, or all rows non-finite):
+        # every verdict is honestly Undefined, like a model that never
+        # initialized — not a crash at query-construction time
+        return (df.select(*cols)
+                .withColumn("recon_err", F.lit(None).cast("double"))
+                .withColumn(out, F.lit(UNDEFINED_CODE).cast("int")))
     mn, mx = float(X.min()), float(X.max())  # global scalars, gan.py:261-263
     av = (mn + mx) / 2.0
     Xn = (X - av) / (mx - mn) if mn != mx else X
@@ -267,22 +285,27 @@ def gan_check(
         Xn, n_latent, hidden=hidden, epochs=epochs, batch=batch, seed=seed)
     bc = spark.sparkContext.broadcast((mn, mx, av, weights, acts))
 
-    from anomaly_detection_spark.operators.sequential import (
-        _grouped, _out_schema, _per_series,
-    )
-
-    cols = list(keys_l) + [order] + list(extra_cols)
-
     def one(g: pd.DataFrame) -> pd.DataFrame:
         mn_, mx_, av_, w_, a_ = bc.value
         Xg = g[feats].to_numpy(dtype=np.float64)
         if mn_ != mx_:
             Xg = (Xg - av_) / (mx_ - mn_)
-        err = ((mlp_predict(w_, a_, Xg) - Xg) ** 2).mean(axis=1)
-        thr = ewm_threshold(err, K, len_window)
+        n = len(Xg)
+        err = np.full(n, np.nan)
+        code = np.full(n, UNDEFINED_CODE, dtype=np.int32)
+        # non-finite feature rows: the reference's check_ftr_vector /
+        # isnan(GAN_error) path — Undefined, and the error window does
+        # NOT advance (gan.py:109-122, 156-162)
+        mask = np.isfinite(Xg).all(axis=1)
+        if mask.any():
+            Xf = Xg[mask]
+            err_f = ((mlp_predict(w_, a_, Xf) - Xf) ** 2).mean(axis=1)
+            thr_f = ewm_threshold(err_f, K, len_window)
+            err[mask] = err_f
+            code[mask] = np.where(err_f >= thr_f, ERROR_CODE, OK_CODE)
         o = g[cols].copy()
         o["recon_err"] = err
-        o[out] = np.where(err >= thr, ERROR_CODE, OK_CODE).astype(np.int32)
+        o[out] = code
         return o
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:

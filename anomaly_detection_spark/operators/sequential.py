@@ -66,8 +66,8 @@ def _grouped(df: DataFrame, keys, order: str, fn, schema: str,
     # exchange). At real scale the bytes are big enough that AQE would
     # not coalesce — this pins the Python-cost-aware parallelism at
     # every scale.
-    n_parts = min(n_buckets, int(df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions")))
+    from anomaly_detection_spark.session import shuffle_partitions
+    n_parts = min(n_buckets, shuffle_partitions(df.sparkSession))
     bucketed = bucketed.repartition(n_parts, "_bkt")
     return bucketed.groupBy("_bkt").applyInPandas(wrapper, schema=schema)
 

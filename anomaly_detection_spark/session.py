@@ -48,3 +48,15 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (see /root/repo/TESTDATA.md)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def shuffle_partitions(spark: SparkSession) -> int:
+    """spark.sql.shuffle.partitions as an int, tolerating platforms that
+    set it to a non-numeric value ('auto' under auto-optimized shuffle):
+    the fan-out pins only need a sane upper bound, so fall back to the
+    cluster's default parallelism there."""
+    v = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism

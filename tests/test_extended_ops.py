@@ -263,6 +263,15 @@ def test_forecast_changepoint_trend(spark):
     assert codes[200.0] == -1
     assert sum(1 for c in codes.values() if c == -1) <= 5
 
+    # rank-deficient design stays finite with changepoints: period 1.0
+    # on integer timestamps aliases every harmonic (sin == 0, cos ==
+    # intercept); the augmented lstsq must neither raise nor explode
+    alias = seasonal_forecast(df, "series", "ts", "value", period=1.0,
+                              harmonics=2, z=4.0, n_changepoints=5)
+    ap = alias.toPandas()
+    assert np.isfinite(ap.yhat).all()
+    assert float(ap.yhat_upper.iloc[0] - ap.yhat.iloc[0]) < 100.0
+
 
 def test_sequential_bucketing_handles_hot_series(spark):
     """One series with 30k rows among 500 tiny series: the bucketed

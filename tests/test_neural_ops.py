@@ -135,6 +135,68 @@ class TestGanCheck:
         np.testing.assert_allclose(a.recon_err, b.recon_err, rtol=1e-12)
 
 
+class TestGanCheckGuards:
+    def test_empty_train_slice_yields_undefined_not_crash(self, spark,
+                                                          two_feat_series):
+        """A train slice with no rows (a time filter matching nothing,
+        or warm-up construction dropping everything) must produce honest
+        all-Undefined verdicts, not a zero-size numpy reduction error at
+        query-construction time."""
+        from anomaly_detection_spark.operators.neural import gan_check
+
+        out = gan_check(
+            spark, two_feat_series, "series", "ts", ["value", "f2"],
+            train_df=two_feat_series.filter("value > 1e12"), seed=0,
+        ).toPandas()
+        assert len(out) == two_feat_series.count()
+        assert set(out.code) == {2}
+        assert out.recon_err.isna().all()
+
+    def test_nan_rows_undefined_and_window_skips_them(self, spark):
+        """One NULL feature row: that row is Undefined (reference
+        check_ftr_vector / isnan paths, gan.py:109-122,156-162), the
+        error window does not advance over it, training min/max ignore
+        it, and every other verdict still computes."""
+        from anomaly_detection_spark.operators.neural import gan_check
+
+        rng = np.random.default_rng(6)
+        rows = []
+        for i in range(60):
+            v = float(rng.normal(10.0, 0.5))
+            rows.append(("s", float(i), v, v * 0.9))
+        rows.append(("s", 60.0, None, 1.0))
+        rows.append(("s", 61.0, float(rng.normal(10.0, 0.5)), 9.0))
+        df = spark.createDataFrame(
+            rows, "series string, ts double, value double, f2 double")
+        out = gan_check(spark, df, "series", "ts", ["value", "f2"],
+                        n_latent=1, K=4.0, len_window=10, seed=0
+                        ).toPandas().sort_values("ts")
+        nan_row = out[out.ts == 60.0]
+        assert set(nan_row.code) == {2}
+        assert nan_row.recon_err.isna().all()
+        rest = out[out.ts != 60.0]
+        assert rest.recon_err.notna().all()
+        assert set(rest.code) <= {-1, 1}
+
+
+def test_shuffle_partitions_tolerates_auto(spark):
+    """Platforms with auto-optimized shuffle set
+    spark.sql.shuffle.partitions='auto' (stock Spark rejects the string,
+    so a stub session stands in); the fan-out pins must fall back to
+    defaultParallelism instead of raising ValueError."""
+    from types import SimpleNamespace
+
+    from anomaly_detection_spark.session import shuffle_partitions
+
+    fake = SimpleNamespace(
+        conf=SimpleNamespace(get=lambda k, d=None: "auto"),
+        sparkContext=SimpleNamespace(defaultParallelism=8),
+    )
+    assert shuffle_partitions(fake) == 8
+    assert shuffle_partitions(spark) == \
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
 class TestTrendNNCheck:
     def test_ramps_flag_flat_stays_ok(self, spark):
         """The net flags where its inputs resemble its training
