@@ -326,3 +326,196 @@ def streaming_welford_check(stream_df, *, X: float,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def gan_state_fn(features: Sequence[str], *, model, K: float,
+                 len_window: int):
+    """Streaming GAN check across micro-batches — the reference's
+    execution model (gan.py:103-209 scores an unbounded Kafka stream
+    against one pre-trained autoencoder). ``model`` is the
+    (mn, mx, av, weights, acts) tuple from a driver-side
+    ``neural.fit_autoencoder`` fit (few KB; rides the closure). State =
+    the trailing error window (last len_window-1 reconstruction errors),
+    so the exp-weighted moving threshold K*wavg(window incl. current,
+    tail-aligned warm-up weights) continues EXACTLY across batches;
+    non-finite rows are Undefined and do not advance the window
+    (gan.py:109-122, 156-162)."""
+    from anomaly_detection_spark.operators.neural import (
+        ewm_threshold, mlp_predict,
+    )
+
+    feats = list(features)
+    mn, mx, av, weights, acts = model
+
+    def fn(key: Tuple[Any, ...], batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        win = np.asarray(state.get[0], dtype=np.float64) \
+            if state.exists else np.empty(0)
+        pdf = _whole_batch(batches)
+        if pdf is not None:
+            Xg = pdf[feats].to_numpy(dtype=np.float64)
+            if mn != mx:
+                Xg = (Xg - av) / (mx - mn)
+            n = len(Xg)
+            err = np.full(n, np.nan)
+            code = np.full(n, 2, dtype=np.int32)
+            mask = np.isfinite(Xg).all(axis=1)
+            if mask.any():
+                Xf = Xg[mask]
+                err_f = ((mlp_predict(weights, acts, Xf) - Xf) ** 2) \
+                    .mean(axis=1)
+                # prepend the carried window: positions past it see the
+                # identical full-sequence recurrence (the carry holds
+                # min(prior_count, len_window-1) errors — every window a
+                # batch row needs)
+                seq = np.concatenate([win, err_f])
+                thr = ewm_threshold(seq, K, len_window)[len(win):]
+                err[mask] = err_f
+                code[mask] = np.where(err_f >= thr, -1, 1)
+                win = seq[-(len_window - 1):] if len_window > 1 \
+                    else np.empty(0)
+            out = pdf[["key", "order"]].copy()
+            out["recon_err"] = err
+            out["code"] = code
+            yield out
+        state.update(([float(x) for x in win],))
+
+    return fn
+
+
+GAN_OUTPUT_SCHEMA = "key string, order double, recon_err double, code int"
+GAN_STATE_SCHEMA = "window array<double>"
+
+
+def streaming_gan_check(stream_df, features: Sequence[str], *, model,
+                        K: float = 3.0, len_window: int = 20):
+    """stream_df columns: (key string, order double, <features...>).
+    ``model`` from ``neural.fit_autoencoder`` + its normalization
+    scalars — see gan_state_fn."""
+    return stream_df.groupBy("key").applyInPandasWithState(
+        gan_state_fn(list(features), model=model, K=K,
+                     len_window=len_window),
+        outputStructType=GAN_OUTPUT_SCHEMA,
+        stateStructType=GAN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def trend_nn_state_fn(*, N: int, averaging: int, prediction_conv: int,
+                      amp_scale: float = 1.0,
+                      warning_stages: Sequence[float] = (),
+                      num_samples: int = 1000, train_noise: float = 0.05,
+                      seed: int = 0):
+    """Streaming Trend_Classification across micro-batches — the
+    reference scores an unbounded stream with one synthetic-ramp-trained
+    MLP (trend_classification.py:54-152). The net retrains identically
+    from its seed on any executor (fit is memoized per process), so no
+    weights ride the state; state = the three recurrence tails
+    (last averaging-1 raw values, last N-1 trailing means, last
+    prediction_conv-1 class predictions) + the rows-seen counter, which
+    is exactly what the clean per-message recurrence needs to continue
+    element-exactly (batch == stream equivalence-tested)."""
+    import pickle
+
+    from anomaly_detection_spark.operators.neural import (
+        fit_trend_classifier, mlp_predict,
+    )
+
+    stages = sorted(warning_stages)
+
+    def fn(key: Tuple[Any, ...], batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        weights, acts = fit_trend_classifier(
+            N, num_samples=num_samples, train_noise=train_noise, seed=seed)
+        if state.exists:
+            raw_t, mean_t, pred_t, seen = pickle.loads(bytes(state.get[0]))
+        else:
+            raw_t, mean_t, pred_t, seen = (np.empty(0), np.empty(0),
+                                           np.empty(0), 0)
+        pdf = _whole_batch(batches)
+        if pdf is not None:
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            nb = len(vals)
+            raw = np.concatenate([raw_t, vals])
+            means_b = pd.Series(raw).rolling(
+                averaging, min_periods=1).mean().to_numpy()[len(raw_t):]
+            mseq = np.concatenate([mean_t, means_b])
+            codes = np.full(nb, 2, dtype=np.int32)
+            tval = np.full(nb, np.nan)
+            # batch row i's FV window ends at mseq index len(mean_t)+i;
+            # it exists once the GLOBAL row index seen+i reaches N-1
+            # (the carry holds min(seen, N-1) means, so the two
+            # conditions coincide)
+            first = max(0, (N - 1) - len(mean_t))
+            preds_b = np.empty(0)
+            if first < nb and len(mseq) >= N:
+                Wd = np.lib.stride_tricks.sliding_window_view(mseq, N)
+                Wd = Wd[len(mean_t) + first - (N - 1):]
+                mx = Wd.max(axis=1)
+                mn = Wd.min(axis=1)
+                amp = (mx - mn) / amp_scale
+                flat = mx == mn
+                preds_b = np.ones(len(Wd))
+                if (~flat).any():
+                    nw = Wd[~flat]
+                    # reference precedence quirk, verbatim (neural.py)
+                    with np.errstate(divide="ignore", invalid="ignore",
+                                     over="ignore"):
+                        norm = (nw - nw.mean(axis=1, keepdims=True)) \
+                            / nw.max(axis=1, keepdims=True) \
+                            - nw.min(axis=1, keepdims=True)
+                        preds_b[~flat] = mlp_predict(weights, acts, norm) \
+                            .argmax(axis=1)
+                pseq = np.concatenate([pred_t, preds_b])
+                avgp = pd.Series(pseq).rolling(
+                    prediction_conv, min_periods=prediction_conv).mean() \
+                    .to_numpy()[len(pred_t):]
+                v = 1.0 + (avgp - 1.0) * amp
+                centered = v - 1.0
+                full = ~np.isnan(avgp)
+                c = np.where(
+                    np.abs(centered) > 1.0, -1,
+                    np.where(np.abs(centered) > (stages[0] if stages
+                                                 else np.inf), 0, 1))
+                codes[first:][full] = c[full]
+                tval[first:] = v
+                pred_t = pseq[-(prediction_conv - 1):] \
+                    if prediction_conv > 1 else np.empty(0)
+            raw_t = raw[-(averaging - 1):] if averaging > 1 \
+                else np.empty(0)
+            mean_t = mseq[-(N - 1):] if N > 1 else np.empty(0)
+            seen += nb
+            out = pdf[["key", "order"]].copy()
+            out["trend_value"] = tval
+            out["code"] = codes
+            yield out
+        state.update((bytearray(pickle.dumps(
+            (raw_t, mean_t, pred_t, seen), pickle.HIGHEST_PROTOCOL)),))
+
+    return fn
+
+
+TREND_OUTPUT_SCHEMA = "key string, order double, trend_value double, code int"
+TREND_STATE_SCHEMA = "st binary"
+
+
+def streaming_trend_nn_check(stream_df, *, N: int = 10, averaging: int = 3,
+                             prediction_conv: int = 3,
+                             amp_scale: float = 1.0,
+                             warning_stages: Sequence[float] = (),
+                             num_samples: int = 1000,
+                             train_noise: float = 0.05, seed: int = 0):
+    """stream_df columns: (key string, order double, value double)."""
+    return stream_df.groupBy("key").applyInPandasWithState(
+        trend_nn_state_fn(N=N, averaging=averaging,
+                          prediction_conv=prediction_conv,
+                          amp_scale=amp_scale,
+                          warning_stages=warning_stages,
+                          num_samples=num_samples,
+                          train_noise=train_noise, seed=seed),
+        outputStructType=TREND_OUTPUT_SCHEMA,
+        stateStructType=TREND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

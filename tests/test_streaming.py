@@ -180,3 +180,108 @@ def test_stateful_welford_across_microbatches(spark, tmp_path):
     )}
     assert got == expect
     assert got[6.0] == -1  # the 80.0 spike, scored with cross-batch state
+
+
+def test_stateful_gan_across_microbatches(spark, tmp_path):
+    """The GAN error-window state must carry across micro-batches: the
+    streamed (recon_err, code) sequence equals the full-sequence
+    recurrence (ewm_threshold over all errors) computed locally with the
+    same pre-trained model, split points landing mid-window."""
+    import numpy as np
+    from anomaly_detection_spark.operators.neural import (
+        ewm_threshold, fit_autoencoder, mlp_predict,
+    )
+    from anomaly_detection_spark.streaming.stateful import (
+        streaming_gan_check,
+    )
+
+    rng = np.random.default_rng(17)
+    v = rng.normal(10.0, 0.5, 30)
+    X = np.stack([v, v * 0.9 + rng.normal(0, 0.05, 30)], axis=1)
+    X[22] = (60.0, 1.0)  # gross spike in batch 2
+    mn, mx = float(X.min()), float(X.max())
+    av = (mn + mx) / 2.0
+    weights, acts, _ = fit_autoencoder((X - av) / (mx - mn), 1, seed=0)
+    model = (mn, mx, av, weights, acts)
+    K, lw = 4.0, 8
+
+    src = str(tmp_path / "gan_in")
+    schema = "key string, order double, value double, f2 double"
+    rows = [("k", float(i), float(X[i, 0]), float(X[i, 1]))
+            for i in range(len(X))]
+    spark.createDataFrame(rows[:13], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_gan_check(stream, ["value", "f2"], model=model,
+                              K=K, len_window=lw)
+    q = (out.writeStream.format("memory").queryName("gan_state")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[13:], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["order"]: (r["recon_err"], r["code"]) for r in
+               spark.sql("SELECT * FROM gan_state").collect()}
+    finally:
+        q.stop()
+
+    Xn = (X - av) / (mx - mn)
+    err = ((mlp_predict(weights, acts, Xn) - Xn) ** 2).mean(axis=1)
+    thr = ewm_threshold(err, K, lw)
+    assert len(got) == len(X)
+    for i in range(len(X)):
+        assert got[float(i)][0] == pytest.approx(err[i], rel=1e-12), i
+        assert got[float(i)][1] == (-1 if err[i] >= thr[i] else 1), i
+    assert got[22.0][1] == -1
+
+
+def test_stateful_trend_nn_across_microbatches(spark, tmp_path):
+    """The trend recurrence tails (raw / rolling-mean / prediction
+    windows) must carry across micro-batches: streamed codes equal the
+    batch trend_nn_check on the concatenated series, with both split
+    points inside warm-up and mid-stream."""
+    import numpy as np
+    from anomaly_detection_spark.operators.neural import trend_nn_check
+    from anomaly_detection_spark.streaming.stateful import (
+        streaming_trend_nn_check,
+    )
+
+    vals = [0.025 * i for i in range(20)] + \
+           [0.5 - 0.02 * i for i in range(20)]
+    kw = dict(N=10, averaging=3, prediction_conv=3, amp_scale=0.1,
+              warning_stages=(0.5,), seed=0)
+
+    src = str(tmp_path / "trend_in")
+    schema = "key string, order double, value double"
+    rows = [("k", float(i), float(v)) for i, v in enumerate(vals)]
+    spark.createDataFrame(rows[:7], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_trend_nn_check(stream, **kw)
+    q = (out.writeStream.format("memory").queryName("trend_state")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[7:25], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(rows[25:], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["order"]: (r["trend_value"], r["code"]) for r in
+               spark.sql("SELECT * FROM trend_state").collect()}
+    finally:
+        q.stop()
+
+    df = spark.createDataFrame(rows, schema)
+    batch = trend_nn_check(spark, df, "key", "order", "value", **kw) \
+        .toPandas().sort_values("order")
+    assert len(got) == len(vals)
+    for _, r in batch.iterrows():
+        tv, code = got[r["order"]]
+        assert code == r["code"], r["order"]
+        if np.isnan(r["trend_value"]):
+            assert tv is None or np.isnan(tv), r["order"]
+        else:
+            assert tv == pytest.approx(r["trend_value"], rel=1e-12)
