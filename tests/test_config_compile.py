@@ -316,3 +316,51 @@ def test_cli_curate_mode(spark, tmp_path, capsys):
     assert st["quality_lang_gate"]["rows_in"] == 500
     kept = spark.read.parquet(out_dir).count()
     assert kept == st["near_dedup"]["rows_out"] > 0
+
+
+def test_model_backed_config_fuzz(spark):
+    """Engine-only fuzz over the model-backed compile branches (the
+    reference side needs tensorflow / the rrcf package, unavailable and
+    stubbed): seeded sampled GAN / Trend_Classification / RRCF_trees
+    configs, optionally stacked with a classic detector, must compile,
+    run, preserve every input row, and stay inside the code domain —
+    including degenerate draws (N_shifts >= series length exercises
+    gan_check's all-Undefined empty-train guard)."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    for trial in range(9):
+        n = int(rng.integers(12, 40))
+        vals = [float(v) for v in np.cumsum(rng.normal(0, 1, n)) + 5.0]
+        algs, confs = [], []
+        pick = trial % 3
+        if pick == 0:
+            algs.append("GAN()")
+            confs.append({"train_conf": {
+                "N_shifts": int(rng.integers(1, 20)),
+                "N_latent": int(rng.integers(1, 4)),
+                "K": float(rng.uniform(2, 5)),
+                "len_window": int(rng.integers(3, 12))}})
+        elif pick == 1:
+            algs.append("Trend_Classification()")
+            confs.append({"N": int(rng.integers(4, 12)),
+                          "averaging": int(rng.integers(1, 4)),
+                          "prediction_conv": int(rng.integers(1, 4)),
+                          "amp_scale": float(rng.uniform(0.05, 1.0)),
+                          "warning_stages": [0.5],
+                          "num_samples": 150, "train_noise": 0.05})
+        else:
+            algs.append("RRCF_trees()")
+            confs.append({"num_trees": int(rng.integers(2, 6)),
+                          "tree_size": int(rng.integers(4, 16)),
+                          "threshold": float(rng.uniform(2, 20))})
+        if rng.random() < 0.5:
+            algs.append("BorderCheck()")
+            confs.append({"UL": 50.0, "LL": -50.0,
+                          "warning_stages": [0.5]})
+        cfg = {"anomaly_detection_alg": algs,
+               "anomaly_detection_conf": confs}
+        out = compile_config(cfg)(series_df(spark, vals)).collect()
+        assert len(out) == n, (trial, algs)
+        for r in out:
+            assert r["status_code"] in (-1, 0, 1, 2), (trial, algs, r)
