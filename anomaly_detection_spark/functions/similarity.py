@@ -303,8 +303,10 @@ def lsh_topk(
     occupies are dropped at the scan, so the only wide op shuffles the
     matching buckets' (id, tbl, bkt, vector) rows. Per bucket one GEMM
     scores members x that bucket's queries and emits k-row partials;
-    cross-table duplicates collapse in a dropDuplicates over the TINY
-    partial set, then a window merges — lossless for global top-k.
+    cross-table duplicates collapse via max(cosine) per (query, id) over
+    the TINY partial set (two buckets' GEMMs can differ in the last ulp,
+    so keeping an arbitrary duplicate would be shuffle-order-dependent),
+    then a window merges — lossless for global top-k.
     Candidate (query, id) pairs never materialize (the previous
     pair-join + per-pair vector fetch took 11-50s at 1024 queries x 200k
     corpus; this shape ~3-4s, tools/ann_bench.py)."""

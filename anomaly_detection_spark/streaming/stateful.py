@@ -413,9 +413,9 @@ def trend_nn_state_fn(*, N: int, averaging: int, prediction_conv: int,
     from its seed on any executor (fit is memoized per process), so no
     weights ride the state; state = the three recurrence tails
     (last averaging-1 raw values, last N-1 trailing means, last
-    prediction_conv-1 class predictions) + the rows-seen counter, which
-    is exactly what the clean per-message recurrence needs to continue
-    element-exactly (batch == stream equivalence-tested)."""
+    prediction_conv-1 class predictions), which is exactly what the
+    clean per-message recurrence needs to continue element-exactly
+    (batch == stream equivalence-tested)."""
     import pickle
 
     from anomaly_detection_spark.operators.neural import (
@@ -429,10 +429,10 @@ def trend_nn_state_fn(*, N: int, averaging: int, prediction_conv: int,
         weights, acts = fit_trend_classifier(
             N, num_samples=num_samples, train_noise=train_noise, seed=seed)
         if state.exists:
-            raw_t, mean_t, pred_t, seen = pickle.loads(bytes(state.get[0]))
+            raw_t, mean_t, pred_t = pickle.loads(bytes(state.get[0]))
         else:
-            raw_t, mean_t, pred_t, seen = (np.empty(0), np.empty(0),
-                                           np.empty(0), 0)
+            raw_t, mean_t, pred_t = (np.empty(0), np.empty(0),
+                                     np.empty(0))
         pdf = _whole_batch(batches)
         if pdf is not None:
             vals = pdf["value"].to_numpy(dtype=np.float64)
@@ -444,9 +444,9 @@ def trend_nn_state_fn(*, N: int, averaging: int, prediction_conv: int,
             codes = np.full(nb, 2, dtype=np.int32)
             tval = np.full(nb, np.nan)
             # batch row i's FV window ends at mseq index len(mean_t)+i;
-            # it exists once the GLOBAL row index seen+i reaches N-1
-            # (the carry holds min(seen, N-1) means, so the two
-            # conditions coincide)
+            # it exists once the GLOBAL row index reaches N-1, and the
+            # carry holds min(rows_seen, N-1) means, so len(mean_t)
+            # alone encodes that condition
             first = max(0, (N - 1) - len(mean_t))
             preds_b = np.empty(0)
             if first < nb and len(mseq) >= N:
@@ -485,13 +485,12 @@ def trend_nn_state_fn(*, N: int, averaging: int, prediction_conv: int,
             raw_t = raw[-(averaging - 1):] if averaging > 1 \
                 else np.empty(0)
             mean_t = mseq[-(N - 1):] if N > 1 else np.empty(0)
-            seen += nb
             out = pdf[["key", "order"]].copy()
             out["trend_value"] = tval
             out["code"] = codes
             yield out
         state.update((bytearray(pickle.dumps(
-            (raw_t, mean_t, pred_t, seen), pickle.HIGHEST_PROTOCOL)),))
+            (raw_t, mean_t, pred_t), pickle.HIGHEST_PROTOCOL)),))
 
     return fn
 
@@ -503,7 +502,7 @@ TREND_STATE_SCHEMA = "st binary"
 def streaming_trend_nn_check(stream_df, *, N: int = 10, averaging: int = 3,
                              prediction_conv: int = 3,
                              amp_scale: float = 1.0,
-                             warning_stages: Sequence[float] = (),
+                             warning_stages: Sequence[float] = (0.5,),
                              num_samples: int = 1000,
                              train_noise: float = 0.05, seed: int = 0):
     """stream_df columns: (key string, order double, value double)."""
