@@ -285,3 +285,74 @@ def test_stateful_trend_nn_across_microbatches(spark, tmp_path):
             assert tv is None or np.isnan(tv), r["order"]
         else:
             assert tv == pytest.approx(r["trend_value"], rel=1e-12)
+
+
+def test_stateful_gan_restart_from_checkpoint(spark, tmp_path):
+    """A STOPPED query restarted on the same checkpointLocation must
+    resume the GAN error-window state from Spark's state store (every
+    state fn docstring claims this; here it is exercised end-to-end):
+    the two runs' combined output equals the unbroken full-sequence
+    recurrence."""
+    import numpy as np
+    from anomaly_detection_spark.operators.neural import (
+        ewm_threshold, fit_autoencoder, mlp_predict,
+    )
+    from anomaly_detection_spark.streaming.stateful import (
+        streaming_gan_check,
+    )
+
+    rng = np.random.default_rng(23)
+    v = rng.normal(5.0, 0.3, 24)
+    X = np.stack([v, v * 1.1 + rng.normal(0, 0.05, 24)], axis=1)
+    X[20] = (40.0, 0.5)
+    mn, mx = float(X.min()), float(X.max())
+    av = (mn + mx) / 2.0
+    weights, acts, _ = fit_autoencoder((X - av) / (mx - mn), 1, seed=1)
+    model = (mn, mx, av, weights, acts)
+    # len_window >= 8: the current error's tail weight share w must keep
+    # K*w < 1 or a lone spike can never beat its own-inclusive threshold
+    # (gan.py includes the current error in the window)
+    K, lw = 4.0, 8
+
+    src = str(tmp_path / "gan_ck_in")
+    out_dir = str(tmp_path / "gan_ck_out")
+    ck = str(tmp_path / "gan_ck_state")
+    schema = "key string, order double, value double, f2 double"
+    rows = [("k", float(i), float(X[i, 0]), float(X[i, 1]))
+            for i in range(len(X))]
+
+    def run_query():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_gan_check(stream, ["value", "f2"], model=model,
+                                  K=K, len_window=lw)
+        return (out.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ck)
+                .outputMode("append").start())
+
+    spark.createDataFrame(rows[:11], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = run_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spark.createDataFrame(rows[11:], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = run_query()  # NEW query object, same checkpoint -> state resumes
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["order"]: (r["recon_err"], r["code"])
+           for r in spark.read.parquet(out_dir).collect()}
+    Xn = (X - av) / (mx - mn)
+    err = ((mlp_predict(weights, acts, Xn) - Xn) ** 2).mean(axis=1)
+    thr = ewm_threshold(err, K, lw)
+    assert len(got) == len(X)
+    for i in range(len(X)):
+        assert got[float(i)][0] == pytest.approx(err[i], rel=1e-12), i
+        assert got[float(i)][1] == (-1 if err[i] >= thr[i] else 1), i
+    assert got[20.0][1] == -1
