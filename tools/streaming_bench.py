@@ -114,10 +114,33 @@ def main() -> int:
 
         return streaming_welford_check(stream, X=3.0)
 
+    def neural(stream):
+        # streaming GAN: one pre-trained autoencoder (driver fit on a
+        # sample of the same value distribution), per-key error-window
+        # state, GEMM scoring per micro-batch
+        import numpy as np
+
+        from anomaly_detection_spark.operators.neural import (
+            fit_autoencoder,
+        )
+        from anomaly_detection_spark.streaming.stateful import (
+            streaming_gan_check,
+        )
+
+        ids = np.arange(0, args.rows, max(1, args.rows // 4096))[:4096]
+        Xs = (np.sin(ids / 97.0) * 10 + 20)[:, None]
+        mn, mx = float(Xs.min()), float(Xs.max())
+        av = (mn + mx) / 2.0
+        w, a, _ = fit_autoencoder((Xs - av) / (mx - mn), 1, seed=0)
+        return streaming_gan_check(stream, ["value"],
+                                   model=(mn, mx, av, w, a),
+                                   K=4.0, len_window=20)
+
     results = {
         "stateless": run("stateless", stateless),
         "windowed": run("windowed", windowed),
         "stateful": run("stateful", stateful),
+        "neural": run("neural", neural),
     }
     print(json.dumps({
         "bench": "streaming_microbatch_throughput", "rows": args.rows,
