@@ -93,11 +93,38 @@ def mlp_predict(weights, acts: Sequence[str], X: np.ndarray) -> np.ndarray:
     return a
 
 
+def _loss_value(weights, acts, X, Y, loss: str) -> float:
+    out = mlp_predict(weights, acts, X)
+    if loss == "mse":
+        return float(((out - Y) ** 2).sum() / Y.size)
+    p = np.clip(out, 1e-300, None)
+    return float(-(Y * np.log(p)).sum() / len(Y))
+
+
+def _gradients(weights, acts, xb, yb, loss: str):
+    """Backprop: d loss / d (W, b) per layer. ``loss``: 'mse' (linear
+    output) or 'ce' (softmax output; delta fuses softmax+cross-entropy).
+    Finite-difference-checked in tests/test_neural_ops.py."""
+    outs = [xb]
+    for (W, b), kind in zip(weights, acts):
+        outs.append(_act(outs[-1] @ W + b, kind))
+    if loss == "mse":
+        delta = 2.0 * (outs[-1] - yb) / yb.size
+    else:
+        delta = (outs[-1] - yb) / len(yb)
+    grads = [None] * len(weights)
+    for li in range(len(weights) - 1, -1, -1):
+        W, _ = weights[li]
+        grads[li] = (outs[li].T @ delta, delta.sum(axis=0))
+        if li > 0:
+            delta = (delta @ W.T) * _act_grad(outs[li], acts[li - 1])
+    return grads
+
+
 def _train(weights, acts, X, Y, *, loss: str, epochs: int, batch: int,
            lr: float, beta1: float, rng, beta2: float = 0.999,
            eps: float = 1e-7) -> None:
-    """In-place mini-batch Adam. ``loss``: 'mse' (linear output) or
-    'ce' (softmax output; delta fuses softmax+cross-entropy)."""
+    """In-place mini-batch Adam over :func:`_gradients`."""
     m = [(np.zeros_like(W), np.zeros_like(b)) for W, b in weights]
     v = [(np.zeros_like(W), np.zeros_like(b)) for W, b in weights]
     t = 0
@@ -106,24 +133,11 @@ def _train(weights, acts, X, Y, *, loss: str, epochs: int, batch: int,
         order = rng.permutation(n)
         for s in range(0, n, batch):
             idx = order[s:s + batch]
-            xb, yb = X[idx], Y[idx]
-            # forward, keeping activations
-            outs = [xb]
-            for (W, b), kind in zip(weights, acts):
-                outs.append(_act(outs[-1] @ W + b, kind))
-            # output delta (d loss / d pre-activation of last layer)
-            if loss == "mse":
-                delta = 2.0 * (outs[-1] - yb) / yb.size
-            else:  # softmax + categorical cross-entropy
-                delta = (outs[-1] - yb) / len(yb)
+            grads = _gradients(weights, acts, X[idx], Y[idx], loss)
             t += 1
             for li in range(len(weights) - 1, -1, -1):
                 W, b = weights[li]
-                gW = outs[li].T @ delta
-                gb = delta.sum(axis=0)
-                if li > 0:
-                    delta = (delta @ W.T) * _act_grad(outs[li], acts[li - 1])
-                # Adam update
+                gW, gb = grads[li]
                 mW, mb = m[li]
                 vW, vb = v[li]
                 mW[:] = beta1 * mW + (1 - beta1) * gW

@@ -66,6 +66,51 @@ class TestKernels:
         for (Wa, _), (Wb, _) in zip(w1, w2):
             np.testing.assert_array_equal(Wa, Wb)
 
+    def test_backprop_matches_finite_differences(self):
+        """The hand-rolled backprop IS the training correctness: check
+        every layer's analytic (W, b) gradients against central finite
+        differences of the loss, for both loss heads (MSE/linear and
+        softmax+cross-entropy) across every activation kind used by the
+        two reference nets."""
+        from anomaly_detection_spark.operators.neural import (
+            _gradients, _init_net, _loss_value,
+        )
+
+        rng = np.random.default_rng(5)
+        cases = [
+            # AE-shaped: tanh bottleneck, relu decoder, linear output
+            ("mse", ["linear", "tanh", "relu", "linear"], [3, 4, 2, 4, 3]),
+            # classifier-shaped: relu, linear, softmax head
+            ("ce", ["relu", "linear", "softmax"], [5, 5, 2, 3]),
+        ]
+        h = 1e-6
+        for loss, acts, dims in cases:
+            weights, _ = _init_net(dims, seed=9)
+            X = rng.normal(0, 0.7, (6, dims[0]))
+            Y = X.copy() if loss == "mse" \
+                else np.eye(dims[-1])[rng.integers(0, dims[-1], 6)]
+            grads = _gradients(weights, acts, X, Y, loss)
+            checked = 0
+            for li, (W, b) in enumerate(weights):
+                for arr, g in ((W, grads[li][0]), (b, grads[li][1])):
+                    flat = list(np.ndindex(arr.shape))
+                    sel = [flat[int(i)] for i in
+                           rng.choice(len(flat), size=min(6, len(flat)),
+                                      replace=False)]
+                    for idx in sel:
+                        orig = arr[idx]
+                        arr[idx] = orig + h
+                        lp = _loss_value(weights, acts, X, Y, loss)
+                        arr[idx] = orig - h
+                        lm = _loss_value(weights, acts, X, Y, loss)
+                        arr[idx] = orig
+                        num = (lp - lm) / (2 * h)
+                        assert num == pytest.approx(g[idx], rel=1e-5,
+                                                    abs=1e-7), \
+                            (loss, li, idx)
+                        checked += 1
+            assert checked >= 25
+
     def test_ewm_threshold_matches_reference_recurrence(self):
         """Vectorized threshold == the reference's stateful loop
         (gan.py:156-162: append err, trim window, K*wavg with
