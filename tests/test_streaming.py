@@ -356,3 +356,61 @@ def test_stateful_gan_restart_from_checkpoint(spark, tmp_path):
         assert got[float(i)][0] == pytest.approx(err[i], rel=1e-12), i
         assert got[float(i)][1] == (-1 if err[i] >= thr[i] else 1), i
     assert got[20.0][1] == -1
+
+
+def test_stateful_trend_restart_from_checkpoint(spark, tmp_path):
+    """Same stop/restart-on-checkpoint exercise for the trend state fn:
+    the two runs' combined output must equal the batch operator on the
+    concatenated series (restart lands mid-recurrence, after warm-up)."""
+    import numpy as np
+    from anomaly_detection_spark.operators.neural import trend_nn_check
+    from anomaly_detection_spark.streaming.stateful import (
+        streaming_trend_nn_check,
+    )
+
+    vals = [0.025 * i for i in range(18)] + \
+           [0.45 - 0.02 * i for i in range(14)]
+    kw = dict(N=10, averaging=3, prediction_conv=3, amp_scale=0.1,
+              warning_stages=(0.5,), seed=0)
+    src = str(tmp_path / "trend_ck_in")
+    out_dir = str(tmp_path / "trend_ck_out")
+    ck = str(tmp_path / "trend_ck_state")
+    schema = "key string, order double, value double"
+    rows = [("k", float(i), float(v)) for i, v in enumerate(vals)]
+
+    def run_query():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_trend_nn_check(stream, **kw)
+        return (out.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ck)
+                .outputMode("append").start())
+
+    spark.createDataFrame(rows[:15], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = run_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark.createDataFrame(rows[15:], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = run_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["order"]: (r["trend_value"], r["code"])
+           for r in spark.read.parquet(out_dir).collect()}
+    batch = trend_nn_check(
+        spark, spark.createDataFrame(rows, schema),
+        "key", "order", "value", **kw).toPandas().sort_values("order")
+    assert len(got) == len(vals)
+    for _, r in batch.iterrows():
+        tv, code = got[r["order"]]
+        assert code == r["code"], r["order"]
+        if np.isnan(r["trend_value"]):
+            assert tv is None or np.isnan(tv)
+        else:
+            assert tv == pytest.approx(r["trend_value"], rel=1e-12)
