@@ -19,10 +19,10 @@ reports a record that any detector flagged.
 Every reference algorithm compiles, including the model-backed ones
 (GAN -> neural.gan_check, Trend_Classification -> neural.trend_nn_check,
 RRCF_trees -> rrcf.rrcf_stream_check, both nets hand-rolled numpy since
-round 4). The one exception is fb_Prophet's model fit (the reference
-delegates to the Stan-based fbprophet package), which raises
-``UnsupportedAlgorithm`` with the documented nearest-equivalent — never
-silently skipped.
+round 4; fb_Prophet -> forecast.forecast_retrain_check, the reference's
+full detector loop with the built-in changepoint+harmonic forecaster
+standing in for the Stan-based fbprophet model). Unknown algorithm
+names raise ``UnsupportedAlgorithm`` — never silently skipped.
 """
 
 from __future__ import annotations
@@ -38,11 +38,7 @@ class UnsupportedAlgorithm(ValueError):
     pass
 
 
-_NEAREST = {
-    "fb_Prophet": "band semantics: asof.asof_band_check on a forecast table"
-    " (the model itself is the Stan-based fbprophet package; no"
-    " from-scratch fit here)",
-}
+_NEAREST: dict = {}
 
 
 def _clean_alg(name: str) -> str:
@@ -323,6 +319,28 @@ def compile_detector(
             return rrcf_stream_check(
                 df, keys, order, feats, num_trees=conf["num_trees"],
                 tree_size=conf["tree_size"], threshold=conf["threshold"],
+                extra_cols=extra)
+        return t
+
+    if alg in ("fb_Prophet", "Prophet"):
+        from anomaly_detection_spark.operators.forecast import (
+            forecast_retrain_check,
+        )
+
+        def t(df):
+            extra = [c for c in df.columns if c not in (keys, order, value)]
+            return forecast_retrain_check(
+                df, keys, order, value,
+                min_samples=conf["min_samples"],
+                max_samples=conf["max_samples"],
+                retrain_interval=conf.get("retrain_interval", 1),
+                uncertainty_interval=conf.get("uncertainty_interval", 0.95),
+                # Prophet infers its seasonalities; the reference config
+                # carries none, so the period is an engine knob
+                # (default: daily on epoch-second timestamps)
+                period=conf.get("period", 86400.0),
+                harmonics=conf.get("harmonics", 2),
+                n_changepoints=conf.get("n_changepoints", 0),
                 extra_cols=extra)
         return t
 

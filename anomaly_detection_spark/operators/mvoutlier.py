@@ -269,6 +269,41 @@ def iforest_check(
     )
 
 
+def epoch_explode(df: DataFrame, keys_l, cols, feats, order: str, *,
+                  first: int, R: int, S: int) -> DataFrame:
+    """The rolling-retrain role explosion shared by
+    :func:`iforest_retrain_check` and
+    ``forecast.forecast_retrain_check``: retrain fires are deterministic
+    given (first, R, S) — fire F_k = first + (k-1)R, trained on the
+    trailing min(S, F_k) rows, scoring rows F_k+1..F_k+R — so each row
+    explodes into its score epoch plus the <= ceil(S/R) train epochs
+    whose buffer contains it, and ONE shuffle on (keys, epoch) fans
+    per-epoch fit+score across series x epochs tasks. Output columns:
+    cols + feats + _rn + (_epoch, _train)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys_l).orderBy(order)
+    base = df.select(*cols, *feats).withColumn("_rn", F.row_number().over(w))
+    rn = F.col("_rn").cast("double")
+    # score epoch: 0 during warm-up, else ceil((rn - first)/R)
+    score_e = F.when(F.col("_rn") <= first, F.lit(0)).otherwise(
+        F.ceil((rn - first) / R).cast("int"))
+    # train epochs k: fire F_k = first + (k-1)R with rn <= F_k < rn + S
+    klo = F.greatest(F.lit(1), (F.ceil((rn - first) / R) + 1).cast("int"))
+    khi = F.ceil((rn + S - first) / R).cast("int")
+    ks = F.when(khi >= klo, F.sequence(klo, khi)) \
+        .otherwise(F.array().cast("array<int>"))
+    roles = F.concat(
+        F.array(F.struct(score_e.alias("e"), F.lit(0).alias("t"))),
+        F.transform(ks, lambda k: F.struct(k.cast("int").alias("e"),
+                                           F.lit(1).alias("t"))),
+    )
+    return base.select(
+        *cols, *feats, "_rn", F.explode(roles).alias("_er")
+    ).select(*cols, *feats, "_rn",
+             F.col("_er.e").alias("_epoch"), F.col("_er.t").alias("_train"))
+
+
 def iforest_retrain_check(
     df: DataFrame, keys, order: str, features: Sequence[str], *,
     retrain_interval: int, samples_for_retrain: int | None = None,
@@ -315,29 +350,8 @@ def iforest_retrain_check(
             score_threshold=score_threshold, seed=seed,
             extra_cols=extra_cols, out=out)
     first = max(R, int(S))
-
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*keys_l).orderBy(order)
-    base = df.select(*cols, *feats).withColumn("_rn", F.row_number().over(w))
-    rn = F.col("_rn").cast("double")
-    # score epoch: 0 during warm-up, else ceil((rn - first)/R)
-    score_e = F.when(F.col("_rn") <= first, F.lit(0)).otherwise(
-        F.ceil((rn - first) / R).cast("int"))
-    # train epochs k: fire F_k = first + (k-1)R with rn <= F_k < rn + S
-    klo = F.greatest(F.lit(1), (F.ceil((rn - first) / R) + 1).cast("int"))
-    khi = F.ceil((rn + S - first) / R).cast("int")
-    ks = F.when(khi >= klo, F.sequence(klo, khi)) \
-        .otherwise(F.array().cast("array<int>"))
-    roles = F.concat(
-        F.array(F.struct(score_e.alias("e"), F.lit(0).alias("t"))),
-        F.transform(ks, lambda k: F.struct(k.cast("int").alias("e"),
-                                           F.lit(1).alias("t"))),
-    )
-    exploded = base.select(
-        *cols, *feats, "_rn", F.explode(roles).alias("_er")
-    ).select(*cols, *feats, "_rn",
-             F.col("_er.e").alias("_epoch"), F.col("_er.t").alias("_train"))
+    exploded = epoch_explode(df, keys_l, cols, feats, order,
+                             first=first, R=R, S=int(S))
 
     def fit_score(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_rn", kind="mergesort")

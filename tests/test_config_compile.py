@@ -73,8 +73,40 @@ def test_sequential_detectors_from_config(spark):
 
 def test_unsupported_algorithms_raise(spark):
     with pytest.raises(UnsupportedAlgorithm):
-        compile_detector("fb_Prophet()", {}, keys="series", order="ts",
+        compile_detector("NoSuchDetector()", {}, keys="series", order="ts",
                          value="value")
+
+
+def test_prophet_config_compiles(spark):
+    """fb_Prophet configs compile to the full detector loop
+    (forecast_retrain_check): min_samples warm-up Undefined, trailing
+    max_samples retrain memory, interval verdicts from
+    uncertainty_interval."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 90
+    vals = [float(10 + 2 * np.sin(i / 4.0) + rng.normal(0, 0.1))
+            for i in range(n)]
+    vals[70] += 8.0
+    df = series_df(spark, vals, step=3600.0)
+    cfg = {
+        "anomaly_detection_alg": ["fb_Prophet()"],
+        "anomaly_detection_conf": [{
+            "uncertainty_interval": 0.99,
+            "min_samples": 40, "max_samples": 50,
+            "retrain_interval": 5,
+            "forecast_horizons": [10, "H"],
+            # engine seasonality knob (Prophet infers its own)
+            "period": 3600.0 * 8 * np.pi,
+        }],
+    }
+    out = compile_config(cfg)(df).orderBy("ts").collect()
+    codes = [r["status_code"] for r in out]
+    assert len(codes) == n
+    assert all(c == 2 for c in codes[:40])
+    assert codes[70] == -1
+    assert codes[40:].count(-1) <= 3
 
 
 def test_model_backed_algorithms_compile(spark):

@@ -300,3 +300,104 @@ def test_sequential_bucketing_handles_hot_series(spark):
     )
     hot_solo = {r["ts"]: r["code"] for r in solo.collect()}
     assert hot_mixed == hot_solo
+
+
+def test_z_for_interval_matches_normal_quantiles():
+    from anomaly_detection_spark.operators.forecast import _z_for_interval
+
+    for width, z in ((0.95, 1.959964), (0.99, 2.575829),
+                     (0.6826895, 1.0), (0.5, 0.674490)):
+        assert _z_for_interval(width) == pytest.approx(z, abs=1e-5)
+
+
+def _prophet_loop_expected(t, y, *, first, S, R, fitkw):
+    """Independent transcription of fb_Prophet's detector loop
+    (fb_prophet.py:74-199): row p is Undefined until min_samples history
+    exists; then it is checked against the model trained at the most
+    recent boundary b on the trailing max_samples rows."""
+    from anomaly_detection_spark.operators.forecast import _fit_predict_band
+
+    n = len(y)
+    codes = []
+    for p in range(n):
+        if p < first:
+            codes.append(2)
+            continue
+        b = first + ((p - first) // R) * R
+        fit = _fit_predict_band(t[max(0, b - S):b], y[max(0, b - S):b],
+                                t[p:p + 1], **fitkw)
+        if fit is None:
+            codes.append(2)
+            continue
+        yh, bw = fit
+        codes.append(-1 if (y[p] < yh[0] - bw or y[p] > yh[0] + bw) else 1)
+    return codes
+
+
+def test_forecast_retrain_matches_reference_loop_both_paths(spark):
+    """Epoch-parallel (S/R <= 32) and sequential (S/R > 32) regimes both
+    reproduce the reference detector loop element-exactly."""
+    from anomaly_detection_spark.operators.forecast import (
+        _z_for_interval, forecast_retrain_check,
+    )
+
+    rng = np.random.default_rng(41)
+    n, period = 150, 24.0
+    t = np.arange(n, dtype=float)
+    y = 10.0 + 0.02 * t + 2.0 * np.sin(2 * np.pi * t / period) \
+        + rng.normal(0, 0.15, n)
+    y[100] += 5.0
+    df = spark.createDataFrame(
+        [("s", float(i), float(v)) for i, v in enumerate(y)],
+        "series string, ts double, value double")
+
+    for min_s, max_s, R in ((40, 60, 10),   # S/R = 6  -> epoch-parallel
+                            (40, 60, 1)):   # S/R = 60 -> sequential
+        out = forecast_retrain_check(
+            df, "series", "ts", "value", min_samples=min_s,
+            max_samples=max_s, retrain_interval=R, period=period,
+            harmonics=2, uncertainty_interval=0.99,
+        ).toPandas().sort_values("ts")
+        fitkw = dict(period=period, harmonics=2, n_changepoints=0,
+                     changepoint_range=0.8, changepoint_ridge=1.0,
+                     z=_z_for_interval(0.99))
+        expect = _prophet_loop_expected(t, y, first=min_s, S=max_s, R=R,
+                                        fitkw=fitkw)
+        assert out.code.tolist() == expect, (min_s, max_s, R)
+        assert out.code.tolist()[100] == -1
+        # epoch counts retrains like the reference's retrain_counter
+        assert out.epoch.tolist()[:min_s] == [0] * min_s
+        assert out.epoch.iloc[-1] == (n - 1 - min_s) // R + 1
+
+
+def test_forecast_retrain_adapts_to_regime_change(spark):
+    """The retrain-flip: after a level shift the OLD model flags the new
+    level, and once the trailing-history retrains absorb it the verdicts
+    recover to OK — the reference's rolling-memory semantics
+    (fb_prophet.py:148-151: memory trimmed to max_samples)."""
+    from anomaly_detection_spark.operators.forecast import (
+        forecast_retrain_check,
+    )
+
+    rng = np.random.default_rng(43)
+    period = 24.0
+    t = np.arange(160, dtype=float)
+    level = np.where(t < 80, 10.0, 30.0)
+    y = level + 2.0 * np.sin(2 * np.pi * t / period) \
+        + rng.normal(0, 0.2, 160)
+    df = spark.createDataFrame(
+        [("s", float(i), float(v)) for i, v in enumerate(y)],
+        "series string, ts double, value double")
+    out = forecast_retrain_check(
+        df, "series", "ts", "value", min_samples=40, max_samples=40,
+        retrain_interval=10, period=period, harmonics=2,
+        uncertainty_interval=0.99,
+    ).toPandas().sort_values("ts")
+    codes = out.code.tolist()
+    assert all(c == 2 for c in codes[:40])
+    # a 0.99 band leaves ~1% noise flags; the structural claim is the
+    # FLIP: settled before, solidly flagged at the shift, settled after
+    assert codes[45:80].count(-1) <= 2       # settled pre-break
+    assert set(codes[80:90]) == {-1}         # old model flags the shift
+    assert codes[130:].count(-1) <= 2        # memory fully post-break
+    assert codes[130:].count(1) >= 25
