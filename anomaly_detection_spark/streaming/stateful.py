@@ -518,3 +518,110 @@ def streaming_trend_nn_check(stream_df, *, N: int = 10, averaging: int = 3,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def prophet_state_fn(*, min_samples: int, max_samples: int,
+                     retrain_interval: int = 1, period: float,
+                     harmonics: int = 2, uncertainty_interval: float = 0.95,
+                     n_changepoints: int = 0):
+    """Streaming fb_Prophet detector loop across micro-batches
+    (fb_prophet.py:74-199 runs on an unbounded Kafka stream): state =
+    the trailing (t, y) memory plus the rows-seen counter. Models refit
+    deterministically from the memory at each retrain boundary, so no
+    coefficients ride the state; the carry holds max_samples +
+    retrain_interval - 1 rows because the governing boundary of a
+    batch's first rows can sit up to R-1 rows behind the batch, and its
+    training window reaches max_samples rows further back. Each batch is
+    walked in boundary-delimited segments (the Python loop is over
+    retrain fires, never rows); element-exact vs the batch
+    ``forecast_retrain_check`` (equivalence-tested across splits)."""
+    import pickle
+
+    from anomaly_detection_spark.operators.forecast import (
+        _fit_predict_band, _z_for_interval,
+    )
+
+    R = int(retrain_interval)
+    S = int(max_samples)
+    first = int(min_samples)
+    keep_n = S + R - 1
+    fitkw = dict(period=period, harmonics=harmonics,
+                 n_changepoints=n_changepoints, changepoint_range=0.8,
+                 changepoint_ridge=1.0,
+                 z=_z_for_interval(uncertainty_interval))
+
+    def fn(key: Tuple[Any, ...], batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            t_tail, y_tail, seen = pickle.loads(bytes(state.get[0]))
+        else:
+            t_tail, y_tail, seen = np.empty(0), np.empty(0), 0
+        pdf = _whole_batch(batches)
+        if pdf is not None:
+            tb = pdf["order"].to_numpy(dtype=np.float64)
+            yb = pdf["value"].to_numpy(dtype=np.float64)
+            nb = len(yb)
+            t_all = np.concatenate([t_tail, tb])
+            y_all = np.concatenate([y_tail, yb])
+            off = len(t_tail)  # t_all index of global row r: off + r - seen
+            yhat = np.full(nb, np.nan)
+            band = np.full(nb, np.nan)
+            code = np.full(nb, 2, dtype=np.int32)
+            p = 0
+            while p < nb:
+                g = seen + p  # global 0-based index of batch row p
+                if g < first:
+                    p = min(nb, first - seen)
+                    continue
+                b = first + ((g - first) // R) * R  # governing boundary
+                seg = slice(p, min(nb, (b + R) - seen))
+                lo = max(0, off + (b - S) - seen)
+                hi = off + b - seen
+                fit = _fit_predict_band(t_all[lo:hi], y_all[lo:hi],
+                                        tb[seg], **fitkw)
+                if fit is not None:
+                    yh, bw = fit
+                    yhat[seg] = yh
+                    band[seg] = bw
+                    code[seg] = np.where(
+                        (yb[seg] < yh - bw) | (yb[seg] > yh + bw), -1, 1)
+                p = seg.stop
+            seen += nb
+            keep = min(len(t_all), keep_n)
+            t_tail = t_all[-keep:] if keep else np.empty(0)
+            y_tail = y_all[-keep:] if keep else np.empty(0)
+            out = pdf[["key", "order"]].copy()
+            out["yhat"] = yhat
+            out["yhat_lower"] = yhat - band
+            out["yhat_upper"] = yhat + band
+            out["code"] = code
+            yield out
+        state.update((bytearray(pickle.dumps(
+            (t_tail, y_tail, seen), pickle.HIGHEST_PROTOCOL)),))
+
+    return fn
+
+
+PROPHET_OUTPUT_SCHEMA = ("key string, order double, yhat double, "
+                         "yhat_lower double, yhat_upper double, code int")
+PROPHET_STATE_SCHEMA = "st binary"
+
+
+def streaming_forecast_retrain_check(stream_df, *, min_samples: int,
+                                     max_samples: int,
+                                     retrain_interval: int = 1,
+                                     period: float, harmonics: int = 2,
+                                     uncertainty_interval: float = 0.95,
+                                     n_changepoints: int = 0):
+    """stream_df columns: (key string, order double, value double)."""
+    return stream_df.groupBy("key").applyInPandasWithState(
+        prophet_state_fn(min_samples=min_samples, max_samples=max_samples,
+                         retrain_interval=retrain_interval, period=period,
+                         harmonics=harmonics,
+                         uncertainty_interval=uncertainty_interval,
+                         n_changepoints=n_changepoints),
+        outputStructType=PROPHET_OUTPUT_SCHEMA,
+        stateStructType=PROPHET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

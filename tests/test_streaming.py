@@ -414,3 +414,65 @@ def test_stateful_trend_restart_from_checkpoint(spark, tmp_path):
             assert tv is None or np.isnan(tv)
         else:
             assert tv == pytest.approx(r["trend_value"], rel=1e-12)
+
+
+def test_stateful_prophet_across_microbatches(spark, tmp_path):
+    """The streaming fb_Prophet loop must equal the batch
+    forecast_retrain_check on the concatenated series for BOTH batch
+    execution regimes (epoch-parallel R=10 and sequential R=1), with
+    splits inside warm-up and mid-epoch."""
+    import numpy as np
+    from anomaly_detection_spark.operators.forecast import (
+        forecast_retrain_check,
+    )
+    from anomaly_detection_spark.streaming.stateful import (
+        streaming_forecast_retrain_check,
+    )
+
+    rng = np.random.default_rng(47)
+    n, period = 120, 24.0
+    t = np.arange(n, dtype=float)
+    y = 10.0 + 0.03 * t + 2.0 * np.sin(2 * np.pi * t / period) \
+        + rng.normal(0, 0.15, n)
+    y[90] += 5.0
+    rows = [("k", float(i), float(v)) for i, v in enumerate(y)]
+    schema = "key string, order double, value double"
+
+    for R, tag in ((10, "ep"), (1, "seq")):
+        kw = dict(min_samples=40, max_samples=60, retrain_interval=R,
+                  period=period, harmonics=2, uncertainty_interval=0.99)
+        src = str(tmp_path / f"pr_in_{tag}")
+        spark.createDataFrame(rows[:25], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_forecast_retrain_check(stream, **kw)
+        q = (out.writeStream.format("memory").queryName(f"pr_{tag}")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(rows[25:73], schema) \
+                .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            spark.createDataFrame(rows[73:], schema) \
+                .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            got = {r["order"]: (r["yhat"], r["code"]) for r in
+                   spark.sql(f"SELECT * FROM pr_{tag}").collect()}
+        finally:
+            q.stop()
+
+        batch = forecast_retrain_check(
+            spark.createDataFrame(rows, schema),
+            "key", "order", "value", **kw,
+        )
+        bp = batch.toPandas().sort_values("order")
+        assert len(got) == n
+        for _, r in bp.iterrows():
+            yh, code = got[r["order"]]
+            assert code == r["code"], (tag, r["order"])
+            if np.isnan(r["yhat"]):
+                assert yh is None or np.isnan(yh), (tag, r["order"])
+            else:
+                assert yh == pytest.approx(r["yhat"], rel=1e-9), \
+                    (tag, r["order"])
+        assert got[90.0][1] == -1
