@@ -38,7 +38,6 @@ class UnsupportedAlgorithm(ValueError):
     pass
 
 
-_NEAREST: dict = {}
 
 
 def _clean_alg(name: str) -> str:
@@ -344,8 +343,6 @@ def compile_detector(
                 extra_cols=extra)
         return t
 
-    if alg in _NEAREST:
-        raise UnsupportedAlgorithm(f"{alg}: out of v1 scope — {_NEAREST[alg]}")
     raise UnsupportedAlgorithm(f"unknown algorithm {alg!r}")
 
 

@@ -72,35 +72,17 @@ def seasonal_forecast(
     def one(g: pd.DataFrame) -> pd.DataFrame:
         t = g[order].to_numpy(dtype=np.float64)
         y = g[value].to_numpy(dtype=np.float64)
-        t0 = t - t[0]
-        cps = None
-        if n_changepoints > 0 and len(t0) > 2:
-            qs = np.linspace(0.0, changepoint_range,
-                             n_changepoints + 2)[1:-1]
-            cps = np.unique(np.quantile(t0, qs))
-        A = _design(t0, period, harmonics, cps)
-        k = A.shape[1]
-        if len(y) <= k + 2:
+        fit = _fit_predict_band(t, y, t, period=period,
+                                harmonics=harmonics,
+                                n_changepoints=n_changepoints,
+                                changepoint_range=changepoint_range,
+                                changepoint_ridge=changepoint_ridge, z=z)
+        if fit is None:
             yhat = np.full_like(y, np.nan)
             band = np.full_like(y, np.nan)
         else:
-            if cps is not None:
-                # ridge on the hinge block only, solved as an AUGMENTED
-                # least squares (sqrt-penalty rows appended) rather than
-                # the normal equations: lstsq stays rank-deficiency-safe
-                # when the unpenalized columns are collinear (constant
-                # order column, aliased harmonics), where solve() on
-                # A'A + P would raise or explode
-                P = np.zeros(k)
-                P[2:2 + len(cps)] = changepoint_ridge
-                A_aug = np.vstack([A, np.diag(np.sqrt(P))])
-                y_aug = np.concatenate([y, np.zeros(k)])
-                coef, *_ = np.linalg.lstsq(A_aug, y_aug, rcond=None)
-            else:
-                coef, *_ = np.linalg.lstsq(A, y, rcond=None)
-            yhat = A @ coef
-            resid_std = float(np.std(y - yhat, ddof=min(k, len(y) - 1)))
-            band = np.full_like(y, z * resid_std)
+            yhat, bw = fit
+            band = np.full_like(y, bw)
         o = g[cols].copy()
         o["yhat"] = yhat
         o["yhat_lower"] = yhat - band
@@ -156,9 +138,9 @@ def _z_for_interval(width: float) -> float:
     model is +-z*sigma with z = probit((1+width)/2). Scipy-free via
     Acklam's rational approximation of the inverse normal CDF (public
     constants; |rel err| < 1.15e-9)."""
-    p = (1.0 + float(width)) / 2.0
-    if not 0.0 < p < 1.0:
+    if not 0.0 < float(width) < 1.0:
         raise ValueError(f"interval width must be in (0,1), got {width}")
+    p = (1.0 + float(width)) / 2.0
     a = (-3.969683028665376e+01, 2.209460984245205e+02,
          -2.759285104469687e+02, 1.383577518672690e+02,
          -3.066479806614716e+01, 2.506628277459239e+00)
@@ -203,6 +185,12 @@ def _fit_predict_band(t_tr, y_tr, t_sc, *, period, harmonics,
     if len(y_tr) <= k + 2:
         return None
     if cps is not None:
+        # ridge on the hinge block only, solved as an AUGMENTED least
+        # squares (sqrt-penalty rows appended) rather than the normal
+        # equations: lstsq stays rank-deficiency-safe when the
+        # unpenalized columns are collinear (constant order column,
+        # aliased harmonics), where solve() on A'A + P would raise or
+        # explode
         P = np.zeros(k)
         P[2:2 + len(cps)] = changepoint_ridge
         A_aug = np.vstack([A, np.diag(np.sqrt(P))])
@@ -303,7 +291,11 @@ def forecast_retrain_check(
 
     from anomaly_detection_spark.operators.mvoutlier import epoch_explode
 
-    exploded = epoch_explode(df, keys_l, cols, [value], order,
+    # value may already ride in extra_cols (forecast_band_check's
+    # pattern) — selecting it twice would make the epoch_explode output
+    # ambiguous, so only add it as a feature when cols lack it
+    feats = [] if value in cols else [value]
+    exploded = epoch_explode(df, keys_l, cols, feats, order,
                              first=first, R=R, S=S)
 
     def fit_score(pdf: pd.DataFrame) -> pd.DataFrame:

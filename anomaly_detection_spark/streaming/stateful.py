@@ -523,7 +523,9 @@ def streaming_trend_nn_check(stream_df, *, N: int = 10, averaging: int = 3,
 def prophet_state_fn(*, min_samples: int, max_samples: int,
                      retrain_interval: int = 1, period: float,
                      harmonics: int = 2, uncertainty_interval: float = 0.95,
-                     n_changepoints: int = 0):
+                     n_changepoints: int = 0,
+                     changepoint_range: float = 0.8,
+                     changepoint_ridge: float = 1.0):
     """Streaming fb_Prophet detector loop across micro-batches
     (fb_prophet.py:74-199 runs on an unbounded Kafka stream): state =
     the trailing (t, y) memory plus the rows-seen counter. Models refit
@@ -546,8 +548,9 @@ def prophet_state_fn(*, min_samples: int, max_samples: int,
     first = int(min_samples)
     keep_n = S + R - 1
     fitkw = dict(period=period, harmonics=harmonics,
-                 n_changepoints=n_changepoints, changepoint_range=0.8,
-                 changepoint_ridge=1.0,
+                 n_changepoints=n_changepoints,
+                 changepoint_range=changepoint_range,
+                 changepoint_ridge=changepoint_ridge,
                  z=_z_for_interval(uncertainty_interval))
 
     def fn(key: Tuple[Any, ...], batches: Iterator[pd.DataFrame],
@@ -612,14 +615,18 @@ def streaming_forecast_retrain_check(stream_df, *, min_samples: int,
                                      retrain_interval: int = 1,
                                      period: float, harmonics: int = 2,
                                      uncertainty_interval: float = 0.95,
-                                     n_changepoints: int = 0):
+                                     n_changepoints: int = 0,
+                                     changepoint_range: float = 0.8,
+                                     changepoint_ridge: float = 1.0):
     """stream_df columns: (key string, order double, value double)."""
     return stream_df.groupBy("key").applyInPandasWithState(
         prophet_state_fn(min_samples=min_samples, max_samples=max_samples,
                          retrain_interval=retrain_interval, period=period,
                          harmonics=harmonics,
                          uncertainty_interval=uncertainty_interval,
-                         n_changepoints=n_changepoints),
+                         n_changepoints=n_changepoints,
+                         changepoint_range=changepoint_range,
+                         changepoint_ridge=changepoint_ridge),
         outputStructType=PROPHET_OUTPUT_SCHEMA,
         stateStructType=PROPHET_STATE_SCHEMA,
         outputMode="append",

@@ -401,3 +401,38 @@ def test_forecast_retrain_adapts_to_regime_change(spark):
     assert set(codes[80:90]) == {-1}         # old model flags the shift
     assert codes[130:].count(-1) <= 2        # memory fully post-break
     assert codes[130:].count(1) >= 25
+
+
+def test_z_for_interval_rejects_bad_width():
+    from anomaly_detection_spark.operators.forecast import _z_for_interval
+
+    for bad in (0.0, -0.5, 1.0, 1.5):
+        with pytest.raises(ValueError):
+            _z_for_interval(bad)
+
+
+def test_forecast_retrain_value_in_extras_both_paths(spark):
+    """extra_cols=('value',) (the forecast_band_check pattern) must work
+    in BOTH execution regimes — the epoch-parallel path previously
+    selected the value column twice and broke on the ambiguous
+    reference."""
+    from anomaly_detection_spark.operators.forecast import (
+        forecast_retrain_check,
+    )
+
+    rng = np.random.default_rng(51)
+    vals = [float(10 + np.sin(i / 3.0) + rng.normal(0, 0.1))
+            for i in range(80)]
+    df = series_df(spark, vals)
+    for R in (10, 1):  # epoch-parallel / sequential
+        plain = forecast_retrain_check(
+            df, "series", "ts", "value", min_samples=30, max_samples=40,
+            retrain_interval=R, period=6 * np.pi * 3600.0,
+        ).toPandas().sort_values("ts")
+        extra = forecast_retrain_check(
+            df, "series", "ts", "value", min_samples=30, max_samples=40,
+            retrain_interval=R, period=6 * np.pi * 3600.0,
+            extra_cols=("value",),
+        ).toPandas().sort_values("ts")
+        assert "value" in extra.columns
+        assert extra.code.tolist() == plain.code.tolist(), R

@@ -1,6 +1,6 @@
 """Structured-Streaming micro-batch throughput bench.
 
-Measures rows/s through three representative streaming pipelines over a
+Measures rows/s through four representative streaming pipelines over a
 file source split into multiple micro-batches (maxFilesPerTrigger +
 availableNow), each ending in a noop sink with a checkpoint:
 
@@ -8,6 +8,8 @@ availableNow), each ending in a noop sink with a checkpoint:
 2. windowed   — watermark + 1-minute windowed error rates (state store)
 3. stateful   — streaming Welford via applyInPandasWithState (per-key
                 pickled state carried across micro-batches)
+4. neural     — streaming GAN (pre-trained autoencoder, per-key
+                error-window state, GEMM scoring per micro-batch)
 
 Prints one JSON line. Evidence recorded in BENCH/BASELINE.md.
 
