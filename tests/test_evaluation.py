@@ -64,3 +64,41 @@ def test_grid_search_parallel_matches_serial(spark, labeled):
     assert f_serial == f_par
     assert sorted((tuple(p.items()), f) for p, f in r_serial) == \
            sorted((tuple(p.items()), f) for p, f in r_par)
+
+
+def test_grid_search_tunes_compiled_model_backed_detector(spark):
+    """The eval harness composes with compile_detector over the
+    model-backed algorithms (round-4 graduation): grid-search the GAN
+    config's K on a labeled planted-spike series and the too-loose
+    candidate must lose to a sensible one — the reference's
+    GridSearchCV-over-AnomalyDetectorWrapper workflow end-to-end
+    through the config surface."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.config import compile_detector
+    from tests.conftest import series_df
+
+    rng = np.random.default_rng(61)
+    vals = [float(v) for v in rng.normal(10.0, 0.5, 120)]
+    spikes = {30, 75, 110}
+    for i in spikes:
+        vals[i] = 60.0
+    df = series_df(spark, vals).withColumn(
+        "label", F.when(
+            F.col("ts").isin([1459926000.0 + i * 3600.0 for i in spikes]),
+            1).otherwise(0))
+
+    def builder(d, *, K):
+        t = compile_detector(
+            "GAN()",
+            {"train_conf": {"N_shifts": 0, "N_latent": 1, "K": K,
+                            "len_window": 12}},
+            keys="series", order="ts", value="value")
+        return t(d)
+
+    best, best_f1, allr = grid_search(df, builder, {"K": [4.0, 8.0, 1e6]})
+    scores = {p["K"]: f for p, f in allr}
+    assert scores[1e6] == 0.0           # threshold never exceeded
+    assert best["K"] in (4.0, 8.0)
+    assert best_f1 > 0.5
