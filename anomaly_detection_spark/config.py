@@ -64,6 +64,55 @@ def _load_train_vectors(path: str | None):
     return np.asarray(rows, dtype=float) if rows else None
 
 
+def _gan_train_frame(spark, path: str | None, n_shifts: int, feats):
+    """The GAN's train CSV — ``timestamp, ftr_vector`` columns with
+    SCALAR ftr_vector values (gan.py:254-258 reads them astype(float))
+    — expanded into the constructed (value, shift_1..N) training frame
+    so :func:`neural.gan_check` derives its normalization scalars and
+    fits from the train set, never the scored stream (ADVICE r4).
+    Returns None when the config carries no train_data; raises when the
+    key names a missing file (the reference's read_csv would too).
+    Normalize-then-shift vs shift-then-normalize commute (lagging is
+    elementwise), and every raw value appears in some feature cell, so
+    the global min/max/avg match the reference's scalar-series ones."""
+    if not path:
+        return None
+    import os
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"GAN train_data file not found: {path}")
+    import numpy as np
+    import pandas as pd
+
+    vals = (pd.read_csv(path, usecols=(0, 1))["ftr_vector"]
+            .astype(float).to_numpy())
+    if len(vals) <= n_shifts:
+        return None
+    if n_shifts:
+        M = np.stack([vals[n_shifts - k: len(vals) - k]
+                      for k in range(0, n_shifts + 1)], axis=1)
+    else:
+        M = vals.reshape(-1, 1)
+    return spark.createDataFrame(pd.DataFrame(M, columns=list(feats)))
+
+
+def _load_prophet_history(path: str | None, keep_last: int):
+    """prophet.py's warm-start history (a Prophet training CSV with
+    ``ds`` datetime / ``y`` value columns, read at configure time and
+    trimmed to the trailing ``samples_in_store`` rows —
+    /root/reference/src/algorithms/prophet.py:53-57) -> list of
+    (epoch_seconds, y). A config without the key returns None; a
+    configured-but-missing file raises, exactly where the reference's
+    read_csv would."""
+    if not path:
+        return None
+    import pandas as pd
+
+    h = pd.read_csv(path).iloc[-int(keep_last):]
+    ts = pd.to_datetime(h["ds"]).astype("int64") / 1e9
+    return list(zip(ts.tolist(), h["y"].astype(float).tolist()))
+
+
 def _time_filter_spec(spec):
     """The reference's per-detector time filter config — a string the
     reference eval()s into (target_time, tolerance) triples
@@ -82,7 +131,40 @@ def _time_filter_spec(spec):
 def compile_detector(
     alg: str, conf: dict, *, keys, order: str, value: str,
 ) -> Callable[[DataFrame], DataFrame]:
-    """One detector config -> a transform df -> df + 'code' column."""
+    """One detector config -> a transform df -> df + 'code' column.
+    A ``normalization`` key (LastNAverage / PeriodicLastNAverage,
+    anomaly_detection.py:178-190) wraps the detector with the
+    reference's repair hook: flagged rows additionally carry a
+    ``suggested_value`` column (output.py:127-137 semantics)."""
+    base = _compile_base(alg, conf, keys=keys, order=order, value=value)
+    norm = conf.get("normalization")
+    if norm is None:
+        return base
+    kind = _clean_alg(norm)
+    if kind not in ("LastNAverage", "PeriodicLastNAverage"):
+        raise UnsupportedAlgorithm(f"unknown normalization {kind!r}")
+    nconf = conf.get("normalization_conf") or {}
+
+    def t(df):
+        from anomaly_detection_spark.operators.sequential import (
+            normalization_suggest,
+        )
+
+        checked = base(df)
+        if value not in checked.columns:
+            # recurrence detectors project value away; the hook needs
+            # the raw value back for its memory
+            checked = checked.join(df.select(keys, order, value),
+                                   on=[keys, order], how="left")
+        return normalization_suggest(
+            checked, keys, order, value, kind=kind, N=nconf["N"],
+            period=nconf.get("period", 1))
+    return t
+
+
+def _compile_base(
+    alg: str, conf: dict, *, keys, order: str, value: str,
+) -> Callable[[DataFrame], DataFrame]:
     alg = _clean_alg(alg)
     ws = tuple(conf.get("warning_stages") or ())
     UL, LL = conf.get("UL"), conf.get("LL")
@@ -268,7 +350,9 @@ def compile_detector(
         return t
 
     if alg == "GAN":
-        from anomaly_detection_spark.operators.neural import gan_check
+        from anomaly_detection_spark.operators.neural import (
+            gan_check, gan_retrain_check,
+        )
         from anomaly_detection_spark.operators.windowed import shift_features
 
         def t(df):
@@ -284,12 +368,42 @@ def compile_detector(
                 src = shift_features(df, keys, order, value,
                                      list(range(1, n_shifts + 1)))
                 src = src.filter(F.col(f"shift_{n_shifts}").isNotNull())
-            return gan_check(
-                df.sparkSession, src, keys, order, feats,
+            # the reference REQUIRES train_data (or a saved keras model)
+            # to initialize — gan.py:95-101 raises otherwise. A config
+            # naming a train set must never be silently scored with a
+            # model fit on the contaminated stream; a config without one
+            # falls back to self-training WITH a warning (documented
+            # divergence: saved-keras load_model_from has no engine-side
+            # equivalent).
+            train_df = _gan_train_frame(df.sparkSession,
+                                        conf.get("train_data"), n_shifts,
+                                        feats)
+            if train_df is None and "load_model_from" not in conf:
+                import warnings
+                warnings.warn(
+                    "GAN config has no train_data: training on the scored "
+                    "stream itself (the reference would raise, gan.py:99)")
+            common = dict(
                 n_latent=int(tc.get("N_latent", 3)),
                 K=float(tc.get("K", 3.0)),
                 len_window=int(tc.get("len_window", 20)),
                 extra_cols=extra)
+            if conf.get("retrain_interval") and conf.get("samples_for_retrain"):
+                if train_df is None:
+                    raise UnsupportedAlgorithm(
+                        "GAN retrain_interval requires train_data (the "
+                        "reference initializes from it, gan.py:95-101)")
+                return gan_retrain_check(
+                    df.sparkSession, src, keys, order, feats,
+                    retrain_interval=int(conf["retrain_interval"]),
+                    samples_for_retrain=int(conf["samples_for_retrain"]),
+                    train_df=train_df, **common)
+            # reference quirk: retrain_interval WITHOUT samples_for_retrain
+            # never fires (fire condition is `samples_for_retrain ==
+            # memory.shape[0]`, i.e. None == int — gan.py:202-204), so
+            # that shape is exactly the fixed model
+            return gan_check(df.sparkSession, src, keys, order, feats,
+                             train_df=train_df, **common)
         return t
 
     if alg == "Trend_Classification":
@@ -321,26 +435,150 @@ def compile_detector(
                 extra_cols=extra)
         return t
 
+    if alg == "Combination":
+        # the reference's stacked detector (combination.py:70-118): run
+        # every sub-algorithm on each row, then fold their statuses with
+        # a determiner. Sub-detectors compile recursively (nesting works
+        # the same way the reference's eval-in-module-namespace does).
+        from anomaly_detection_spark.operators.combination import (
+            combine_and, combine_or,
+        )
+
+        sub_algs = conf["anomaly_algorithms"]
+        sub_confs = conf["anomaly_algorithms_configurations"]
+        if len(sub_algs) != len(sub_confs):
+            raise ValueError(
+                f"Combination has {len(sub_algs)} algorithms for "
+                f"{len(sub_confs)} configurations")
+        det_name = _clean_alg(conf["status_determiner"])
+        det_conf = conf.get("status_determiner_conf") or {}
+        if det_name not in ("AND", "OR", "PercentScore"):
+            # PercentScore_Alicante scores status TEXT ('upper' matches,
+            # combination.py:221-265) which the compiled code columns do
+            # not carry; its semantics are available via
+            # operators.windowed.percent_score_alicante (oracle-green in
+            # combination_alicante_events)
+            raise UnsupportedAlgorithm(
+                f"unsupported status_determiner {det_name!r} (AND / OR / "
+                "PercentScore compile; PercentScore_Alicante needs status "
+                "text — use operators.windowed.percent_score_alicante)")
+        subs = [
+            (f"_comb_{i}_{_clean_alg(a).lower()}",
+             compile_detector(a, c, keys=keys, order=order, value=value))
+            for i, (a, c) in enumerate(zip(sub_algs, sub_confs))
+        ]
+
+        def t(df):
+            # chain the joins off the running frame (never re-derive df
+            # per sub-detector — the same single-chain shape as
+            # compile_config.run; sub-detectors tolerate extra columns)
+            out = df
+            names = []
+            for name, sub in subs:
+                checked = sub(out)
+                out = out.join(
+                    checked.select(keys, order, F.col("code").alias(name)),
+                    on=[keys, order], how="left",
+                ).withColumn(name, F.coalesce(F.col(name), F.lit(2)))
+                names.append(name)
+            if det_name == "AND":
+                return out.withColumn("code", combine_and(names)).drop(*names)
+            if det_name == "OR":
+                return out.withColumn("code", combine_or(names)).drop(*names)
+            # PercentScore: the reference determiner RETURNS the
+            # interval-convolved float score as the status code
+            # (combination.py:178-218) — so does the compiled column
+            from anomaly_detection_spark.operators.windowed import (
+                percent_score,
+            )
+            interval = float(det_conf["interval"])
+            num_in_interval = int(interval / float(det_conf["data_interval"]))
+            return percent_score(
+                out, keys, order, names, interval=interval,
+                num_in_interval=num_in_interval, out="code",
+            ).drop(*names)
+        return t
+
     if alg in ("fb_Prophet", "Prophet"):
         from anomaly_detection_spark.operators.forecast import (
             forecast_retrain_check,
         )
 
-        def t(df):
-            extra = [c for c in df.columns if c not in (keys, order, value)]
-            return forecast_retrain_check(
-                df, keys, order, value,
+        # two reference config shapes share the name: fb_prophet.py
+        # (min_samples/max_samples) and prophet.py
+        # (samples_in_store/history_file/memory_location,
+        # prophet.py:42-60). prophet.py cannot actually run in the
+        # reference (tiemstamp typo :77, unassigned .append :84-85,
+        # undefined changepoint_range :151) so its keys translate to the
+        # working detector loop: samples_in_store is both the training
+        # memory and the score gate (rows are Undefined until the memory
+        # is full) -> min_samples = max_samples = samples_in_store; the
+        # history file warm-starts the memory so the first live row can
+        # be scored. uncertainty_interval is honored (the reference
+        # reads it then hard-codes interval_width=0.9 — its default here
+        # for this shape); memory_location (a resave path) has no
+        # engine-side meaning and is ignored.
+        if "min_samples" in conf:
+            store = None
+            hist = None
+            kw = dict(
                 min_samples=conf["min_samples"],
                 max_samples=conf["max_samples"],
                 retrain_interval=conf.get("retrain_interval", 1),
                 uncertainty_interval=conf.get("uncertainty_interval", 0.95),
+            )
+        elif "samples_in_store" in conf:
+            store = int(conf["samples_in_store"])
+            hist = _load_prophet_history(conf.get("history_file"), store)
+            kw = dict(
+                min_samples=store,
+                max_samples=store,
+                retrain_interval=conf.get("retrain_interval", 1),
+                uncertainty_interval=conf.get("uncertainty_interval", 0.9),
+            )
+        else:
+            raise UnsupportedAlgorithm(
+                "Prophet config carries neither min_samples "
+                "(fb_prophet.py shape) nor samples_in_store "
+                "(prophet.py shape)")
+
+        def t(df):
+            extra = [c for c in df.columns if c not in (keys, order, value)]
+            src = df
+            extra_t = list(extra)
+            if hist:
+                # warm-start: the history rows fill every series' memory
+                # BEFORE the live rows (prophet.py trains at configure
+                # time); they are tagged, scored, and dropped from the
+                # output — only live rows carry verdicts
+                spark = df.sparkSession
+                o_type = df.schema[order].dataType.simpleString()
+                hdf = spark.createDataFrame(
+                    [(float(t0), float(y)) for t0, y in hist],
+                    f"`{order}` {o_type}, `{value}` double")
+                hjoin = (
+                    df.select(keys).distinct()
+                    .crossJoin(F.broadcast(hdf))
+                    .withColumn("_hist", F.lit(True))
+                )
+                src = df.withColumn("_hist", F.lit(False))
+                for c in extra:
+                    hjoin = hjoin.withColumn(
+                        c, F.lit(None).cast(df.schema[c].dataType))
+                src = src.unionByName(hjoin.select(src.columns))
+                extra_t.append("_hist")
+            out_df = forecast_retrain_check(
+                src, keys, order, value, **kw,
                 # Prophet infers its seasonalities; the reference config
                 # carries none, so the period is an engine knob
                 # (default: daily on epoch-second timestamps)
                 period=conf.get("period", 86400.0),
                 harmonics=conf.get("harmonics", 2),
                 n_changepoints=conf.get("n_changepoints", 0),
-                extra_cols=extra)
+                extra_cols=extra_t)
+            if hist:
+                out_df = out_df.filter(~F.col("_hist")).drop("_hist")
+            return out_df
         return t
 
     raise UnsupportedAlgorithm(f"unknown algorithm {alg!r}")
@@ -394,9 +632,15 @@ def compile_config(
                 src = out.filter(time_of_day_predicate(ts, target, tol))
             checked = t(src)
             # per-detector ops name their verdict 'code'; rename + join back
+            # (a normalization-wrapped detector also carries its repair
+            # suggestion — one join brings both columns)
             joined_keys = [keys, order]
+            picked = [F.col("code").alias(name)]
+            if "suggested_value" in checked.columns:
+                picked.append(F.col("suggested_value").alias(
+                    name.replace("code_", "suggested_value_", 1)))
             out = out.join(
-                checked.select(*joined_keys, F.col("code").alias(name)),
+                checked.select(*joined_keys, *picked),
                 on=joined_keys, how="left",
             )
             # rows the detector never saw (time filter, or warm-up rows a

@@ -61,17 +61,28 @@ def psi_numeric(
     hb = histogram(base, value, lo, hi, n_bins).withColumnRenamed("cnt", "cb")
     hc = histogram(cur, value, lo, hi, n_bins).withColumnRenamed("cnt", "cc")
     joined = hb.join(hc, "bin", "full_outer").fillna(0, subset=["cb", "cc"])
-    p = F.col("cb") / F.sum("cb").over(WindowAll())
-    q = F.col("cc") / F.sum("cc").over(WindowAll())
-    p, q = F.greatest(p, F.lit(EPS)), F.greatest(q, F.lit(EPS))
-    return joined.select(((p - q) * F.log(p / q)).alias("term")).agg(
-        F.sum("term").alias("psi")
+    return _psi_of_counts(joined)
+
+
+def _psi_of_counts(joined: DataFrame) -> DataFrame:
+    """(cb, cc) count rows -> 1-row (psi double). ONE aggregation: the
+    totals and the per-bin terms come out of the same collect, so the
+    upstream scans run once and no unpartitioned window is planned (the
+    previous `sum().over(Window.partitionBy())` form was scale-safe —
+    the input is an already-aggregated n_bins/category-count frame —
+    but emitted a WARN WindowExec wall per run; a HOF over the <=
+    few-hundred collected structs is not a per-row hot path)."""
+    packed = joined.agg(
+        F.sum("cb").alias("tb"), F.sum("cc").alias("tc"),
+        F.collect_list(F.struct(F.col("cb"), F.col("cc"))).alias("bs"))
+    p = lambda s: F.greatest(s["cb"] / F.col("tb"), F.lit(EPS))
+    q = lambda s: F.greatest(s["cc"] / F.col("tc"), F.lit(EPS))
+    return packed.select(
+        F.aggregate(
+            F.col("bs"), F.lit(0.0),
+            lambda acc, s: acc + (p(s) - q(s)) * F.log(p(s) / q(s)),
+        ).alias("psi")
     )
-
-
-def WindowAll():
-    from pyspark.sql import Window
-    return Window.partitionBy()
 
 
 def psi_categorical(base: DataFrame, cur: DataFrame, col: str) -> DataFrame:
@@ -81,11 +92,7 @@ def psi_categorical(base: DataFrame, cur: DataFrame, col: str) -> DataFrame:
     fb = base.groupBy(F.col(col).alias("cat")).agg(F.count(F.lit(1)).alias("cb"))
     fc = cur.groupBy(F.col(col).alias("cat")).agg(F.count(F.lit(1)).alias("cc"))
     joined = fb.join(fc, "cat", "full_outer").fillna(0, subset=["cb", "cc"])
-    p = F.greatest(F.col("cb") / F.sum("cb").over(WindowAll()), F.lit(EPS))
-    q = F.greatest(F.col("cc") / F.sum("cc").over(WindowAll()), F.lit(EPS))
-    return joined.select(((p - q) * F.log(p / q)).alias("term")).agg(
-        F.sum("term").alias("psi")
-    )
+    return _psi_of_counts(joined)
 
 
 # ---------------------------------------------------------------------------
@@ -271,9 +278,14 @@ def partition_stat_drift(
         F.avg(F.col(value).cast("double")).alias("part_mean"),
         F.count(F.lit(1)).alias("part_rows"),
     )
+    # the window runs on the tiny per-partition aggregate, so one task
+    # is exactly right — but Window.partitionBy(lit) constant-folds to
+    # an UNPARTITIONED spec and WARN-spams every run; an empty substring
+    # of the partition column is the same single group while referencing
+    # an attribute the optimizer cannot fold away
     return welford_windowed(
-        per_part, keys=F.lit(1), order=partition_col, value="part_mean",
-        N=N, X=X, out=out,
+        per_part, keys=F.substring(F.col(partition_col), 0, 0),
+        order=partition_col, value="part_mean", N=N, X=X, out=out,
     )
 
 

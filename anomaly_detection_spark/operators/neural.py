@@ -42,7 +42,7 @@ from anomaly_detection_spark.sampling import bounded_sample_rows
 
 __all__ = [
     "fit_autoencoder", "fit_trend_classifier", "mlp_predict",
-    "ewm_threshold", "gan_check", "trend_nn_check",
+    "ewm_threshold", "gan_check", "gan_retrain_check", "trend_nn_check",
 ]
 
 
@@ -327,6 +327,154 @@ def gan_check(
 
     return _grouped(df.select(*cols, *feats), keys_l, order, fn,
                     _out_schema(df, cols, f"recon_err double, {out} int"))
+
+
+def gan_retrain_check(
+    spark, df: DataFrame, keys, order: str, features: Sequence[str], *,
+    retrain_interval: int, samples_for_retrain: int,
+    train_df: DataFrame, n_latent: int = 3, K: float = 3.0,
+    len_window: int = 20, hidden: int = 10, epochs: int = 100,
+    batch: int = 100, train_sample: int = 4096, seed: int = 0,
+    extra_cols: Sequence[str] = (), out: str = "code",
+) -> DataFrame:
+    """The GAN detector WITH runtime retraining
+    (gan.py:59-88,192-207): every scored row's normalized feature
+    vector is appended to a rolling memory warm-started from the
+    train set and trimmed to the trailing ``samples_for_retrain`` rows;
+    once ``retrain_interval`` rows have arrived since the last (re)fit
+    AND the memory is full, the autoencoder refits on the memory
+    buffer. Normalization scalars stay fixed from the initial train set
+    (the reference's retrain branch never recomputes min/max/avg,
+    gan.py:224-252 vs 253-276), and the exp-weighted moving error
+    window runs CONTINUOUSLY across retrains (self.window is never
+    reset, gan.py:156-162).
+
+    Two documented clean-ups of reference state bugs: warm-up /
+    non-finite rows neither enter the memory nor advance the retrain
+    counter (the reference appends raw ``False`` feature vectors to its
+    memory_dataframe, gan.py:143,194-198 — rows its own retrain would
+    then crash on), and with ``samples_for_retrain`` unset the caller
+    should use :func:`gan_check` — the reference's fire condition
+    ``samples_for_retrain == memory.shape[0]`` is ``None == int`` and
+    never fires, so no-trim configs are exactly the fixed model.
+
+    EPOCH-PARALLEL: fires are deterministic in the finite-row index —
+    with I = min(len(train), S) warm-start rows, the k-th fire is at
+    finite row F_k = max(R, S-I) + (k-1)R, trained on the trailing S
+    rows of warm-start + stream — so each row explodes into its score
+    epoch plus the <= ceil(S/R) buffers containing it
+    (:func:`mvoutlier.epoch_explode`), ONE shuffle fans per-epoch
+    fit+score across series x epochs tasks, and a second per-series
+    pass computes the (sequential by construction) moving threshold
+    over the assembled error sequence. Buffers are data-independent of
+    the models, so unlike the error window they carry no cross-epoch
+    dependency."""
+    feats = list(features)
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    R = int(retrain_interval)
+    S = int(samples_for_retrain)
+    if R <= 0 or S <= 0:
+        raise ValueError("retrain_interval and samples_for_retrain must "
+                         f"be positive, got R={R}, S={S}")
+
+    from anomaly_detection_spark.operators.mvoutlier import epoch_explode
+    from anomaly_detection_spark.operators.sequential import (
+        _grouped, _out_schema, _per_series,
+    )
+
+    cols = list(keys_l) + [order] + list(extra_cols)
+
+    rows = bounded_sample_rows(train_df.select(*feats), train_sample,
+                               seed=seed)
+    X = np.array([[r[c] for c in feats] for r in rows], dtype=np.float64)
+    X = X[np.isfinite(X).all(axis=1)] if X.size else X
+    if X.size == 0:
+        return (df.select(*cols)
+                .withColumn("recon_err", F.lit(None).cast("double"))
+                .withColumn("epoch", F.lit(None).cast("int"))
+                .withColumn(out, F.lit(UNDEFINED_CODE).cast("int")))
+    mn, mx = float(X.min()), float(X.max())
+    av = (mn + mx) / 2.0
+    Xn = (X - av) / (mx - mn) if mn != mx else X
+    init, ae_acts, _ = fit_autoencoder(Xn, n_latent, hidden=hidden,
+                                       epochs=epochs, batch=batch, seed=seed)
+    warm = Xn[-S:]                      # memory warm start (gan.py:84-86)
+    first = max(R, S - len(warm))       # first fire: counter>=R AND full
+    bc = spark.sparkContext.broadcast((mn, mx, av, init, warm))
+
+    # finite rows drive the schedule; non-finite rows rejoin Undefined
+    finite = None
+    for c in feats:
+        p = ~F.isnan(F.col(c).cast("double")) & F.col(c).isNotNull()
+        finite = p if finite is None else (finite & p)
+    live = df.select(*cols, *feats).filter(finite)
+    dead = df.select(*cols, *feats).filter(~finite)
+
+    exploded = epoch_explode(live, keys_l, cols, feats, order,
+                             first=first, R=R, S=S)
+
+    def fit_score(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn_, mx_, av_, init_w, warm_ = bc.value
+        pdf = pdf.sort_values("_rn", kind="mergesort")
+        sc = pdf[pdf["_train"] == 0]
+        o = sc[cols].copy()
+        epoch = int(pdf["_epoch"].iloc[0])
+        o["_rn"] = sc["_rn"].to_numpy()
+        o["epoch"] = np.int32(epoch)
+        if not len(sc):
+            o["recon_err"] = np.nan
+            return o[list(cols) + ["_rn", "epoch", "recon_err"]]
+        if epoch == 0:
+            w = init_w
+        else:
+            tr = pdf[pdf["_train"] == 1]
+            Xt = tr[feats].to_numpy(dtype=np.float64)
+            if mn_ != mx_:
+                Xt = (Xt - av_) / (mx_ - mn_)
+            if len(Xt) < S:      # buffer reaches into the warm start
+                Xt = np.concatenate([warm_[len(Xt) - S:], Xt])
+            w = fit_autoencoder(Xt, n_latent, hidden=hidden, epochs=epochs,
+                                batch=batch, seed=seed)[0]
+        Xs = sc[feats].to_numpy(dtype=np.float64)
+        if mn_ != mx_:
+            Xs = (Xs - av_) / (mx_ - mn_)
+        o["recon_err"] = ((mlp_predict(w, ae_acts, Xs) - Xs) ** 2).mean(axis=1)
+        return o[list(cols) + ["_rn", "epoch", "recon_err"]]
+
+    from anomaly_detection_spark.session import shuffle_partitions
+    n_parts = shuffle_partitions(df.sparkSession)
+    err_schema = _out_schema(df.select(*cols), cols,
+                             "_rn int, epoch int, recon_err double")
+    # explicit fan-out pin: per-group AE fits are Python-CPU-heavy on
+    # tiny shuffle bytes (PLANS.md lesson 8)
+    scored = (
+        exploded.repartition(n_parts, *keys_l, "_epoch")
+        .groupBy(*keys_l, "_epoch")
+        .applyInPandas(fit_score, schema=err_schema)
+    )
+
+    # pass 2: the moving threshold is sequential over each series' error
+    # sequence (continuous across retrains) — tiny per-series vector work
+    def threshold_codes(pdf: pd.DataFrame) -> pd.DataFrame:
+        def one(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("_rn", kind="mergesort")
+            err = g["recon_err"].to_numpy(dtype=np.float64)
+            thr = ewm_threshold(err, K, len_window)
+            o = g[list(cols) + ["epoch", "recon_err"]].copy()
+            o[out] = np.where(err >= thr, ERROR_CODE, OK_CODE).astype(np.int32)
+            return o
+        return _per_series(pdf, keys_l, one)
+
+    out_schema = _out_schema(df.select(*cols), cols,
+                             f"epoch int, recon_err double, {out} int")
+    coded = _grouped(scored, keys_l, "_rn", threshold_codes, out_schema)
+    dead_out = (
+        dead.select(*cols)
+        .withColumn("epoch", F.lit(None).cast("int"))
+        .withColumn("recon_err", F.lit(None).cast("double"))
+        .withColumn(out, F.lit(UNDEFINED_CODE).cast("int"))
+    )
+    return coded.unionByName(dead_out)
 
 
 def trend_nn_check(

@@ -455,6 +455,65 @@ def periodic_last_n_average_repair(
                     _out_schema(df, cols, "code int, suggested_value double"))
 
 
+def normalization_suggest(
+    df: DataFrame, keys, order: str, value: str, *,
+    kind: str = "LastNAverage", N: int, period: int = 1,
+    code_col: str = "code", out: str = "suggested_value",
+) -> DataFrame:
+    """The reference's `normalization` repair EXACTLY as its hook runs
+    it (/root/reference/src/algorithms/anomaly_detection.py:454-472 +
+    normalization.py:24-93), as a post-pass over an already-coded frame:
+    every non-error row appends its RAW value to the rolling memory; an
+    error row with a FULL memory gets suggested = the memory mean
+    (LastNAverage: last N values; PeriodicLastNAverage: the stride-
+    ``period`` slice of the last (N-1)*period+1 values, oldest-aligned)
+    and the SUGGESTION is what enters memory (feedback); an error row
+    while memory is still filling gets NO suggestion and its raw value
+    enters memory. Differs from :func:`last_n_average_repair` (the
+    re-imagined fused border+repair operator): this one reproduces the
+    hook bit-for-bit for config parity, including the no-suggestion
+    warm-up and the suggestion-not-raw feedback on repaired rows.
+
+    Scope note: reference-side the hook fires only on rows the detector
+    actually inserted, and BorderCheck (the canonical normalization
+    user) inserts every row; detectors that skip the hook during their
+    warm-up would diverge on those warm-up rows — the config
+    differential pins the BorderCheck semantics."""
+    keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
+    if kind == "LastNAverage":
+        mem_len, stride = int(N), 1
+    elif kind == "PeriodicLastNAverage":
+        mem_len, stride = (int(N) - 1) * int(period) + 1, int(period)
+    else:
+        raise ValueError(f"unknown normalization {kind!r}")
+
+    cols = list(df.columns)
+
+    def one(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value].to_numpy().astype(np.float64)
+        codes = g[code_col].to_numpy()
+        sug = np.full(len(v), np.nan)
+        mem: list[float] = []
+        for i in range(len(v)):
+            if codes[i] == -1 and len(mem) == mem_len:
+                s = float(np.mean(mem[::stride]))
+                sug[i] = s
+                mem.append(s)
+            else:
+                mem.append(float(v[i]))
+            if len(mem) > mem_len:
+                del mem[0]
+        out_g = g.copy()
+        out_g[out] = sug
+        return out_g
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _per_series(pdf, keys_l, one)
+
+    return _grouped(df, keys_l, order, fn,
+                    _out_schema(df, cols, f"{out} double"))
+
+
 def repair_suite(
     df: DataFrame, keys, order: str, value: str, *,
     last_n: int, periodic_n: int, period: int, LL: float, UL: float,
