@@ -58,11 +58,24 @@ def welford_windowed(
     tmp_m, tmp_s = f"_wf_mean_{out}", f"_wf_s_{out}"
     res = df.withColumn(tmp_m, F.avg(value).over(frame)) \
             .withColumn(tmp_s, F.stddev_samp(value).over(frame))
-    vn = (F.col(value) - F.col(tmp_m)) / (X * F.col(tmp_s))
+    vn = _welford_vn(F.col(value), F.col(tmp_m), X * F.col(tmp_s))
     code = F.when(
         F.row_number().over(w) <= N, F.lit(UNDEFINED_CODE)
     ).otherwise(ladder_code(vn, warning_stages))
     return res.withColumn(out, code).drop(tmp_m, tmp_s)
+
+
+def _welford_vn(value, mean, band):
+    """The reference's zero-variance branch (welford.py:104-113): with
+    UL = mean+X*s == LL = mean-X*s (s = 0: an all-equal window — REAL at
+    larger sf with 2-decimal values; found by the sf0.3 gate as an ANSI
+    DIVIDE_BY_ZERO), value == mean is OK (vn 0) and anything else is an
+    error (vn inf). Division only happens when the band is nonzero."""
+    return (
+        F.when(band != 0.0, (value - mean) / band)
+        .when(value == mean, F.lit(0.0))
+        .otherwise(F.lit(float("inf")))
+    )
 
 
 def welford_streaming(
@@ -86,7 +99,7 @@ def welford_streaming(
     tmp_m, tmp_s = f"_ws_mean_{out}", f"_ws_s_{out}"
     res = df.withColumn(tmp_m, F.avg(value).over(frame)) \
             .withColumn(tmp_s, F.stddev_pop(value).over(frame))
-    vn = (F.col(value) - F.col(tmp_m)) / (X * F.col(tmp_s))
+    vn = _welford_vn(F.col(value), F.col(tmp_m), X * F.col(tmp_s))
     code = F.when(
         F.row_number().over(w) <= 2, F.lit(UNDEFINED_CODE)
     ).otherwise(ladder_code(vn, warning_stages))

@@ -260,6 +260,19 @@ FROM lineitem GROUP BY 1, 2
 # 5-13. windowed / sequential checks on the events stream
 # ---------------------------------------------------------------------------
 
+# the reference's zero-variance branch (welford.py:104-113): an
+# all-equal window has s = 0 -> value == mean is OK, anything else is an
+# error; DuckDB's NULL-on-divide-by-zero would otherwise silently code
+# such rows OK while ANSI Spark raised (found by the sf0.3 gate)
+def _welford_vn_sql(x: float) -> str:
+    return (f"CASE WHEN s <> 0 THEN (value - m) / ({x} * s) "
+            "WHEN value = m THEN 0.0 "
+            "ELSE CAST('infinity' AS DOUBLE) END")
+
+
+_WELFORD_VN_SQL = _welford_vn_sql(3.0)
+
+
 SQL_WELFORD_WINDOWED = f"""
 WITH w AS (
   SELECT event_id,
@@ -270,7 +283,7 @@ WITH w AS (
   FROM events)
 SELECT event_id,
        CASE WHEN rn <= 10 THEN 2
-            ELSE {ladder_code_sql("((value - m) / (3.0 * s))", (0.9,))} END AS code
+            ELSE {ladder_code_sql(_WELFORD_VN_SQL, (0.9,))} END AS code
 FROM w
 """
 
@@ -285,7 +298,7 @@ WITH w AS (
   FROM events)
 SELECT event_id,
        CASE WHEN rn <= 2 THEN 2
-            ELSE {ladder_code_sql("((value - m) / (3.0 * s))", (0.9,))} END AS code
+            ELSE {ladder_code_sql(_WELFORD_VN_SQL, (0.9,))} END AS code
 FROM w
 """
 
@@ -520,7 +533,7 @@ WITH w AS (
 codes AS (
   SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
          CASE WHEN rn <= 10 THEN 2
-              ELSE {ladder_code_sql("((value - m) / (2.0 * s))", (0.9,))} END AS code
+              ELSE {ladder_code_sql(_welford_vn_sql(2.0), (0.9,))} END AS code
   FROM w),
 scored AS (
   SELECT event_id, user_id, tsec,
@@ -546,7 +559,7 @@ WITH w AS (
 codes AS (
   SELECT event_id,
          CASE WHEN rn <= 10 THEN 2
-              ELSE {ladder_code_sql("((value - m) / (3.0 * s))", (0.9,))} END AS cw,
+              ELSE {ladder_code_sql(_welford_vn_sql(3.0), (0.9,))} END AS cw,
          {ladder_code_sql("(2.0 * (value - 250.0) / 500.0)", (0.8,))} AS cb
   FROM w),
 masked AS (
@@ -952,7 +965,7 @@ FROM npsi
 UNION ALL
 SELECT 'day_mean_welford', day, round(part_mean, 6),
        CASE WHEN rn <= 5 THEN 2
-            ELSE {ladder_code_sql("((part_mean - m) / (3.0 * s))", ())} END
+            ELSE {ladder_code_sql("CASE WHEN s <> 0 THEN (part_mean - m) / (3.0 * s) WHEN part_mean = m THEN 0.0 ELSE CAST('infinity' AS DOUBLE) END", ())} END
 FROM pw
 """
 
@@ -2346,18 +2359,88 @@ def q_combination_alicante_events(spark, sf_dir) -> DataFrame:
         e, "user_id", "ts", ["status"], interval=86400, num_in_interval=5,
         out="alicante_score",
     )
-    return e.select(
+    base = e.select(
         "event_id",
         combine_and(["c_w", "c_b"]).alias("code_and"),
         combine_or(["c_w", "c_b"]).alias("code_or"),
         F.round("alicante_score", 6).alias("alicante_score"),
     )
 
+    # round 5: the CONFIG-COMPILE surface rides the same driver row — a
+    # reference-shaped JSON (Combination stack + a normalization-wrapped
+    # BorderCheck) runs through compile_config on a derived series whose
+    # errors are PLANTED ISOLATED (every 97th row per series, farther
+    # apart than the repair memory), so the feedback repair's
+    # suggested_value is SQL-exact: memory at each error holds only raw
+    # values, i.e. avg of the 5 preceding rows.
+    from anomaly_detection_spark.config import compile_config
+
+    from pyspark.sql import Window as _Win
+    ev = _events(spark, sf_dir)
+    wse = _Win.partitionBy(F.pmod(F.col("user_id"), F.lit(8))) \
+        .orderBy("event_id")
+    d2 = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(8)).cast("string").alias("series"),
+        F.when(F.pmod(F.row_number().over(wse), F.lit(97)) == 0,
+               F.lit(1000.0))
+        .otherwise(F.pmod(F.col("value"), F.lit(50.0))).alias("v"),
+    )
+    cfg = {
+        "anomaly_detection_alg": ["Combination()", "BorderCheck()"],
+        "anomaly_detection_conf": [
+            {"anomaly_algorithms": ["BorderCheck()", "BorderCheck()"],
+             "anomaly_algorithms_configurations": [
+                 {"UL": 1200.0, "LL": -1200.0, "warning_stages": [0.5]},
+                 {"UL": 60.0, "LL": -60.0, "warning_stages": [0.9]}],
+             "status_determiner": "OR()"},
+            {"UL": 500.0, "LL": -500.0, "warning_stages": [0.7],
+             "normalization": "LastNAverage()",
+             "normalization_conf": {"N": 5}},
+        ],
+    }
+    compiled = compile_config(cfg, keys="series", order="event_id",
+                              value="v")(d2).select(
+        "event_id",
+        F.col("code_0_combination").alias("cfg_comb"),
+        F.col("code_1_bordercheck").alias("cfg_border"),
+        F.round("suggested_value_1_bordercheck", 6).alias("cfg_suggested"),
+    )
+    return base.join(compiled, "event_id")
+
+
+_SQL_CFG_SUITE = f"""
+WITH cfgrn AS (
+  SELECT event_id,
+         row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id)
+           AS rn,
+         user_id % 8 AS series, value
+  FROM events),
+cfgv AS (
+  SELECT event_id, series, rn,
+         CASE WHEN rn % 97 = 0 THEN 1000.0 ELSE fmod(value, 50.0) END AS v
+  FROM cfgrn),
+cfgc AS (
+  SELECT event_id, rn, v,
+         {ladder_code_sql("(v / 1200.0)", (0.5,))} AS ca,
+         {ladder_code_sql("(v / 60.0)", (0.9,))} AS cb,
+         {ladder_code_sql("(v / 500.0)", (0.7,))} AS cc,
+         avg(v) OVER (PARTITION BY series ORDER BY rn
+                      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS prev5
+  FROM cfgv)
+SELECT event_id, least(ca, cb) AS cfg_comb, cc AS cfg_border,
+       CASE WHEN cc = -1 AND rn > 5 THEN round(prev5, 6) END
+         AS cfg_suggested
+FROM cfgc
+"""
 
 SQL_COMBINATION_ALICANTE = f"""
-WITH a AS ({SQL_COMBINATION}), b AS ({SQL_ALICANTE})
-SELECT a.event_id, a.code_and, a.code_or, b.score AS alicante_score
+WITH a AS ({SQL_COMBINATION}), b AS ({SQL_ALICANTE}),
+c AS ({_SQL_CFG_SUITE})
+SELECT a.event_id, a.code_and, a.code_or, b.score AS alicante_score,
+       c.cfg_comb, c.cfg_border, c.cfg_suggested
 FROM a JOIN b ON a.event_id = b.event_id
+       JOIN c ON a.event_id = c.event_id
 """
 
 

@@ -290,7 +290,11 @@ def welford_state_fn(X: float, warning_stages: Sequence[float] = ()):
                     0.0,
                 )
                 sd = np.sqrt(np.where(cnt > 0, m2_prior / np.where(cnt > 0, cnt, 1.0), 0.0))
-                vn = np.where(sd > 0, (v - mean_prior) / (X * sd), np.inf)
+                # zero-variance branch matches the batch operator (the
+                # reference's UL==LL rule, welford.py:104-113): equal ->
+                # vn 0, else inf
+                vn = np.where(sd > 0, (v - mean_prior) / (X * sd),
+                              np.where(v == mean_prior, 0.0, np.inf))
             codes = np.ones(len(v), dtype=np.int32)
             if stages:
                 codes[np.abs(vn) > stages[0]] = 0

@@ -247,3 +247,83 @@ def test_ngram_jaccard_equi_join_plan_and_exactness(spark):
                 exp.add((i, j, round(jac, 10)))
     assert got == exp
     assert (3, 30, 1.0) in got
+
+
+def test_welford_zero_variance_branch(spark):
+    """sf0.3 gate catch: an all-equal Welford window has stddev 0 and
+    ANSI division raised DIVIDE_BY_ZERO; the reference's UL==LL rule
+    (welford.py:104-113) codes value==mean OK and anything else Error.
+    Both variants, plus the streaming state fn, take that branch now."""
+    from anomaly_detection_spark.operators.windowed import (
+        welford_streaming, welford_windowed,
+    )
+
+    vals = [5.0] * 12 + [9.0] + [5.0] * 5
+    rows = [("k", float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, ts double, value double")
+
+    win = welford_windowed(df, "series", "ts", "value", N=5, X=3.0)
+    got_w = [r["code"] for r in win.orderBy("ts").collect()]
+    # rows 0-4 warm-up; rows 5-11 all-equal window, value==mean -> OK;
+    # row 12 (9.0) deviates from a zero-variance window -> Error
+    assert got_w[:5] == [2] * 5
+    assert got_w[5:12] == [1] * 7
+    assert got_w[12] == -1
+
+    st = welford_streaming(df, "series", "ts", "value", X=3.0)
+    got_s = [r["code"] for r in st.orderBy("ts").collect()]
+    assert got_s[:2] == [2, 2]
+    assert got_s[2:12] == [1] * 10
+    assert got_s[12] == -1
+
+
+def test_welford_zero_variance_differential(spark):
+    """Same series through the ACTUAL reference Welford (skipped without
+    /root/reference)."""
+    import os
+    if not os.path.isdir("/root/reference/src/algorithms"):
+        pytest.skip("reference repo not available")
+    from tests.test_reference_differential import run_reference
+
+    import sys
+    import types
+    sys.path.insert(0, "/root/reference/src")
+    stubs = {}
+    for name in ["kafka", "influxdb_client",
+                 "influxdb_client.client.write_api", "matplotlib",
+                 "matplotlib.pyplot", "requests"]:
+        stubs[name] = sys.modules.get(name)
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    sys.modules["kafka"].KafkaProducer = object
+    sys.modules["influxdb_client"].InfluxDBClient = object
+    sys.modules["influxdb_client.client.write_api"].SYNCHRONOUS = None
+    sys.modules["influxdb_client.client.write_api"].ASYNCHRONOUS = None
+    sys.modules["matplotlib.pyplot"].style = type(
+        "S", (), {"use": staticmethod(lambda *_: None)})()
+    sys.modules["matplotlib"].pyplot = sys.modules["matplotlib.pyplot"]
+    try:
+        from algorithms.welford import Welford
+
+        vals = [5.0] * 12 + [9.0] + [5.0] * 5
+        from anomaly_detection_spark.operators.windowed import (
+            welford_streaming, welford_windowed,
+        )
+        from tests.conftest import codes_of, series_df
+
+        df = series_df(spark, vals)
+        ref_w = run_reference(Welford, {"N": 5, "X": 3.0,
+                                        "warning_stages": []}, vals)
+        assert codes_of(welford_windowed(df, "series", "ts", "value",
+                                         N=5, X=3.0)) == ref_w
+        ref_s = run_reference(Welford, {"X": 3.0, "warning_stages": []},
+                              vals)
+        assert codes_of(welford_streaming(df, "series", "ts", "value",
+                                          X=3.0)) == ref_s
+    finally:
+        sys.path.remove("/root/reference/src")
+        for name, prev in stubs.items():
+            if prev is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = prev
