@@ -2791,7 +2791,7 @@ def q_viz_report_events(spark, sf_dir) -> DataFrame:
     """
     from anomaly_detection_spark.codes import UNDEFINED_CODE, normalized
     from anomaly_detection_spark.reporting import (
-        graph_tail, histogram_bins, status_points,
+        histogram_bins, status_points,
     )
 
     ev = _events(spark, sf_dir).select(
@@ -2802,14 +2802,14 @@ def q_viz_report_events(spark, sf_dir) -> DataFrame:
     _snull = F.lit(None).cast("string")
     _lnull = F.lit(None).cast("long")
 
-    gt = graph_tail(ev, "series", "event_id", ["value"],
-                    num_of_points=50).select(
-        F.lit("graph_tail").alias("report"), "series", "x",
-        F.round("value", 6).alias("y"),
-        _dnull.alias("avg"), _dnull.alias("hi"), _dnull.alias("lo"),
-        _snull.alias("color"), _lnull.alias("n"),
-    )
-
+    # ONE window pass serves both tail reports: status_points at the
+    # larger num_of_points is a superset of graph_tail's buffer (same
+    # x, same values), so the 50-row-per-series tail is materialized
+    # once (localCheckpoint of a tiny frame — the PLANS.md rule: never
+    # recompute a derived frame, persist a SMALL one) and both report
+    # branches select from it; the 30-point scatter re-ranks within the
+    # checkpointed tail. graph_tail/status_points as standalone API are
+    # unit-tested in test_round5_ops.
     w = Window.partitionBy("series").orderBy("event_id")
     coded = ev.withColumn(
         "code",
@@ -2817,8 +2817,20 @@ def q_viz_report_events(spark, sf_dir) -> DataFrame:
         .otherwise(ladder_code(normalized(F.col("value"), 0.0, 500.0),
                                (0.8,))),
     )
-    sp = status_points(coded, "series", "event_id", "value", "code",
-                       num_of_points=30, band_n=10, band_x=1.0).select(
+    tail50 = status_points(
+        coded, "series", "event_id", "value", "code",
+        num_of_points=50, band_n=10, band_x=1.0,
+    ).localCheckpoint(eager=False)
+
+    gt = tail50.select(
+        F.lit("graph_tail").alias("report"), "series", "x",
+        F.round("value", 6).alias("y"),
+        _dnull.alias("avg"), _dnull.alias("hi"), _dnull.alias("lo"),
+        _snull.alias("color"), _lnull.alias("n"),
+    )
+    w_rev = Window.partitionBy("series").orderBy(F.col("x").desc())
+    sp = tail50.withColumn("_rev", F.row_number().over(w_rev)) \
+        .filter(F.col("_rev") <= 30).select(
         F.lit("status_points").alias("report"), "series", "x",
         F.round("value", 6).alias("y"), F.round("avg", 6).alias("avg"),
         F.round("hi", 6).alias("hi"), F.round("lo", 6).alias("lo"),

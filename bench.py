@@ -66,6 +66,10 @@ HEADLINE = [
     "dedup_components_documents",      # transitive pair-graph resolution
     "drift_suite",                     # psi x3 + partition-mean drift
     "recon_drift_events",              # PCA + real-AE recon drift (late r4)
+    "viz_report_events",               # render-buffer tails + digitize hist
+    #   ^ added round 5 (totals vs BENCH_r04 comparable minus this entry;
+    #     combination_alicante also grew the config-compile sub-suite in
+    #     r5 — compare per-query)
 ]
 
 
