@@ -87,7 +87,12 @@ def _gan_train_frame(spark, path: str | None, n_shifts: int, feats):
     vals = (pd.read_csv(path, usecols=(0, 1))["ftr_vector"]
             .astype(float).to_numpy())
     if len(vals) <= n_shifts:
-        return None
+        # a NAMED train set that is too short to build one training row
+        # must not silently fall into the self-training path (the
+        # reference's keras fit would fail on an empty batch too)
+        raise ValueError(
+            f"GAN train_data {path!r} has {len(vals)} rows <= N_shifts="
+            f"{n_shifts}: not enough to construct one training vector")
     if n_shifts:
         M = np.stack([vals[n_shifts - k: len(vals) - k]
                       for k in range(0, n_shifts + 1)], axis=1)
@@ -552,10 +557,15 @@ def _compile_base(
                 # time); they are tagged, scored, and dropped from the
                 # output — only live rows carry verdicts
                 spark = df.sparkSession
-                o_type = df.schema[order].dataType.simpleString()
+                # build with double order then cast to the live frame's
+                # dtype: createDataFrame verifies Python floats against
+                # the declared type, so an integer order column (epoch
+                # seconds as long) would reject float(t0) rows
+                o_type = df.schema[order].dataType
                 hdf = spark.createDataFrame(
                     [(float(t0), float(y)) for t0, y in hist],
-                    f"`{order}` {o_type}, `{value}` double")
+                    f"`{order}` double, `{value}` double",
+                ).withColumn(order, F.col(order).cast(o_type))
                 hjoin = (
                     df.select(keys).distinct()
                     .crossJoin(F.broadcast(hdf))

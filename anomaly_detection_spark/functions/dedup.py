@@ -248,8 +248,15 @@ def ngram_jaccard_pairs(
     # the pair set is byte-identical; each pair meets in exactly one
     # bucket (the b side keeps its single true bucket).
     import math
-    lr = max(math.log(1.0 / lo), 1e-9) if lo < 1.0 else 1e-9
-    bkt = F.floor(F.log(F.col("_len") + F.lit(1.0)) / F.lit(lr)).cast("long")
+    if lo <= 0.0:
+        # length_band >= 1.0 disables the prefilter: every pair is
+        # band-eligible, so bucket everything together (the caller asked
+        # for the all-pairs verification join; log(1/lo) would raise).
+        bkt = F.lit(0).cast("long")
+    else:
+        lr = max(math.log(1.0 / lo), 1e-9) if lo < 1.0 else 1e-9
+        bkt = F.floor(
+            F.log(F.col("_len") + F.lit(1.0)) / F.lit(lr)).cast("long")
     a = base.withColumn(
         "_jb", F.explode(F.array(bkt - 1, bkt, bkt + 1))).alias("a")
     b = base.withColumn("_jb", bkt).alias("b")

@@ -368,7 +368,11 @@ def gan_retrain_check(
     pass computes the (sequential by construction) moving threshold
     over the assembled error sequence. Buffers are data-independent of
     the models, so unlike the error window they carry no cross-epoch
-    dependency."""
+    dependency. When S/R > 32 (the reference's default
+    retrain_interval=1 regime) the explode factor would be ~S per row,
+    so — exactly like :func:`forecast.forecast_retrain_check` — the
+    fires loop INSIDE a per-series scan instead (equivalence-tested
+    against the transcription loop)."""
     feats = list(features)
     keys_l = keys if isinstance(keys, (list, tuple)) else [keys]
     R = int(retrain_interval)
@@ -384,22 +388,45 @@ def gan_retrain_check(
 
     cols = list(keys_l) + [order] + list(extra_cols)
 
-    rows = bounded_sample_rows(train_df.select(*feats), train_sample,
-                               seed=seed)
-    X = np.array([[r[c] for c in feats] for r in rows], dtype=np.float64)
-    X = X[np.isfinite(X).all(axis=1)] if X.size else X
-    if X.size == 0:
+    # schedule-bearing state is EXACT in the train set, independent of
+    # the bounded fit sample (round-5 review: a 10k-row train set with
+    # S=5000 must warm-start 5000 rows and fire at the documented
+    # I = min(len(train), S) schedule, not at the 4096-sample cap):
+    #  - normalization scalars: one distributed min/max agg (any size);
+    #  - memory warm start: the train set's exact trailing min(S, n)
+    #    rows (gan.py:84-86) — a driver collect bounded by the CONFIG
+    #    constant S, the same memory the reference holds in process RAM.
+    # Only the INITIAL model fit stays on the bounded seeded sample (a
+    # documented scale decision — the AE is a re-imagining; the fire
+    # schedule and buffers are the exact part).
+    tf = train_df.select(
+        *[F.col(c).cast("double").alias(c) for c in feats])
+    fin = None
+    for c in feats:
+        p = ~F.isnan(F.col(c)) & F.col(c).isNotNull()
+        fin = p if fin is None else (fin & p)
+    tf = tf.filter(fin)
+    r0 = tf.agg(
+        *([F.min(c).alias(f"_mn{i}") for i, c in enumerate(feats)]
+          + [F.max(c).alias(f"_mx{i}") for i, c in enumerate(feats)])
+    ).first()
+    if r0[0] is None:                   # no finite training rows
         return (df.select(*cols)
                 .withColumn("recon_err", F.lit(None).cast("double"))
                 .withColumn("epoch", F.lit(None).cast("int"))
                 .withColumn(out, F.lit(UNDEFINED_CODE).cast("int")))
-    mn, mx = float(X.min()), float(X.max())
+    mn = min(r0[f"_mn{i}"] for i in range(len(feats)))
+    mx = max(r0[f"_mx{i}"] for i in range(len(feats)))
     av = (mn + mx) / 2.0
+    Xtail = np.array([[r[c] for c in feats] for r in tf.tail(S)],
+                     dtype=np.float64)
+    warm = (Xtail - av) / (mx - mn) if mn != mx else Xtail
+    first = max(R, S - len(warm))       # first fire: counter>=R AND full
+    rows = bounded_sample_rows(tf, train_sample, seed=seed)
+    X = np.array([[r[c] for c in feats] for r in rows], dtype=np.float64)
     Xn = (X - av) / (mx - mn) if mn != mx else X
     init, ae_acts, _ = fit_autoencoder(Xn, n_latent, hidden=hidden,
                                        epochs=epochs, batch=batch, seed=seed)
-    warm = Xn[-S:]                      # memory warm start (gan.py:84-86)
-    first = max(R, S - len(warm))       # first fire: counter>=R AND full
     bc = spark.sparkContext.broadcast((mn, mx, av, init, warm))
 
     # finite rows drive the schedule; non-finite rows rejoin Undefined
@@ -409,6 +436,58 @@ def gan_retrain_check(
         finite = p if finite is None else (finite & p)
     live = df.select(*cols, *feats).filter(finite)
     dead = df.select(*cols, *feats).filter(~finite)
+
+    out_schema = _out_schema(df.select(*cols), cols,
+                             f"epoch int, recon_err double, {out} int")
+    dead_out = (
+        dead.select(*cols)
+        .withColumn("epoch", F.lit(None).cast("int"))
+        .withColumn("recon_err", F.lit(None).cast("double"))
+        .withColumn(out, F.lit(UNDEFINED_CODE).cast("int"))
+    )
+
+    if S / R > 32:
+        # sequential regime (tiny retrain_interval — the reference's
+        # own default is 1): epoch_explode would duplicate every row
+        # ~S/R times, so loop the fires INSIDE the per-series scan
+        # instead, exactly like forecast_retrain_check's second regime.
+        # Same verdicts (equivalence-tested); the cost is one AE fit
+        # per fire — what the reference's own loop pays per row.
+        def one(g: pd.DataFrame) -> pd.DataFrame:
+            mn_, mx_, av_, init_w, warm_ = bc.value
+            Xs = g[feats].to_numpy(dtype=np.float64)
+            if mn_ != mx_:
+                Xs = (Xs - av_) / (mx_ - mn_)
+            n = len(Xs)
+            err = np.empty(n)
+            epoch = np.empty(n, dtype=np.int32)
+            w, e = init_w, 0
+            mem = warm_
+            for i in range(n):
+                err[i] = float(
+                    ((mlp_predict(w, ae_acts, Xs[i: i + 1]) - Xs[i: i + 1])
+                     ** 2).mean())
+                epoch[i] = e
+                mem = np.concatenate([mem, Xs[i: i + 1]])[-S:]
+                r = i + 1
+                if r >= first and (r - first) % R == 0 and len(mem) == S:
+                    e += 1
+                    w = fit_autoencoder(mem, n_latent, hidden=hidden,
+                                        epochs=epochs, batch=batch,
+                                        seed=seed)[0]
+            thr = ewm_threshold(err, K, len_window)
+            o = g[cols].copy()
+            o["epoch"] = epoch
+            o["recon_err"] = err
+            o[out] = np.where(err >= thr, ERROR_CODE,
+                              OK_CODE).astype(np.int32)
+            return o
+
+        def seq_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _per_series(pdf, keys_l, one)
+
+        coded = _grouped(live, keys_l, order, seq_fn, out_schema)
+        return coded.unionByName(dead_out)
 
     exploded = epoch_explode(live, keys_l, cols, feats, order,
                              first=first, R=R, S=S)
@@ -465,15 +544,7 @@ def gan_retrain_check(
             return o
         return _per_series(pdf, keys_l, one)
 
-    out_schema = _out_schema(df.select(*cols), cols,
-                             f"epoch int, recon_err double, {out} int")
     coded = _grouped(scored, keys_l, "_rn", threshold_codes, out_schema)
-    dead_out = (
-        dead.select(*cols)
-        .withColumn("epoch", F.lit(None).cast("int"))
-        .withColumn("recon_err", F.lit(None).cast("double"))
-        .withColumn(out, F.lit(UNDEFINED_CODE).cast("int"))
-    )
     return coded.unionByName(dead_out)
 
 

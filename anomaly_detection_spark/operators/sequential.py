@@ -209,6 +209,14 @@ def _decayed_cusum(delta: np.ndarray, series: np.ndarray,
         x = np.concatenate(([0.0], delta[s0:s1] * (q / decay)))
         out[s0:s1] = pd.Series(x).ewm(alpha=decay, adjust=False) \
             .mean().to_numpy()[1:]
+        # a NaN delta (0/0 when a trailing mean is zero — REAL data at
+        # sf>=1, found by the sf1 gate) must poison the rest of the
+        # series: the sequential recurrence (and its list_reduce oracle
+        # twin) keeps (state + NaN) = NaN forever, but pandas' ewm
+        # kernel SKIPS NaN inputs and silently recovers.
+        bad = np.isnan(delta[s0:s1])
+        if bad.any():
+            out[s0:s1][np.maximum.accumulate(bad)] = np.nan
     return out
 
 

@@ -115,6 +115,13 @@ def _emb_planted(spark, sf_dir, n_feats: int):
     ).select("r.*")
 
 
+def _max_group_n(df, key: str) -> int:
+    """Largest group size (one tiny agg job) — sizes the forest
+    subsample so the planted-invariant precondition (every planted row
+    in every tree's training set) holds at ANY scale factor."""
+    return int(df.groupBy(key).count().agg(F.max("count")).first()[0])
+
+
 def _invariant_split(out, planted_pred):
     """Materialize a scored frame ONCE (localCheckpoint — the planted
     filter and the inlier-rate aggregate must not each recompute the
@@ -499,7 +506,12 @@ c AS (
            (acc, x) -> (acc + x) * 0.99) AS cusum
   FROM d)
 SELECT event_id,
-       CASE WHEN isnan(cusum) THEN NULL ELSE round(cusum, 6) END AS cusum,
+       -- 4dp + 1e-9 nudge: long-recurrence ulp headroom + decimal-atom
+       -- boundary decorrelation, see q_macd_cusum_events
+       -- + 0.0 normalizes IEEE -0.0 (DuckDB round keeps the sign of
+       -- zero, Spark's BigDecimal round does not)
+       CASE WHEN isnan(cusum) THEN NULL
+            ELSE round(cusum + 1e-9, 4) + 0.0 END AS cusum,
        CASE WHEN isnan(cusum) THEN 1
             ELSE {ladder_code_sql("cusum", (0.5,))}
        END AS code
@@ -1032,17 +1044,21 @@ def q_filtering_check_events(spark, sf_dir) -> DataFrame:
 def q_iforest_embeddings(spark, sf_dir) -> DataFrame:
     """IsolationForest with a planted-invariant oracle (round 4): gross
     +-1e6 clones of vec_id < 5 MUST be flagged by the seeded per-label
-    forest (subsample 256 >= every driver-sf group, so each planted row
-    is in every tree's training set and isolates in O(1) splits), and the
-    inlier flag rate stays within contamination + slack (measured
-    0.018-0.019 across sf0.001-0.1; asserted <= 0.04). Both engines
+    forest, and the inlier flag rate stays within contamination + slack
+    (measured 0.018-0.019 across sf0.001-0.1; asserted <= 0.04). The
+    invariant's precondition is that every planted row is in every
+    tree's training set (isolates in O(1) splits), so the subsample
+    ADAPTS to the max group size (round 5 — the fixed 256 held only for
+    groups <= sf0.1; the sf1 gate caught the sibling pca_iforest query
+    missing planted rows once groups outgrew it). Both engines
     enumerate the planted keys; the oracle asserts literal TRUE."""
     from anomaly_detection_spark.operators.mvoutlier import iforest_check
 
     emb = _emb_planted(spark, sf_dir, 3)
+    sub = max(256, _max_group_n(emb, "label"))
     out = iforest_check(
         emb, "label", ["f0", "f1", "f2"], contamination=0.02,
-        extra_cols=["vec_id"], n_trees=50, subsample=256,
+        extra_cols=["vec_id"], n_trees=50, subsample=sub,
     ).select("vec_id", "code")
     planted, inliers = _invariant_split(out, F.col("vec_id") >= 100_000)
     fp = _fp_gate(inliers, 0.04)
@@ -1304,16 +1320,20 @@ FROM mind
 def q_pca_iforest_embeddings(spark, sf_dir) -> DataFrame:
     """PCA(3)->iForest with a planted-invariant oracle (round 4): gross
     8-dim +-1e6 clones of vec_id < 5 dominate the per-group PCA basis, so
-    their projections are extreme in PC1 and the seeded forest (subsample
-    256 >= every driver-sf group — each planted row is in every tree's
-    training set) must flag them; inlier flag rate <= 0.04 (measured
-    0.018-0.020 across sf0.001-0.1)."""
+    their projections are extreme in PC1 and the seeded forest must flag
+    them; inlier flag rate <= 0.04 (measured 0.018-0.020 across
+    sf0.001-0.1). The subsample ADAPTS to the max group size so the
+    every-planted-row-in-every-tree precondition holds at any sf
+    (round 5: the sf1 gate caught 3 of 10 planted rows unflagged once
+    groups reached ~2000 >> the fixed 256 — out-of-sample scoring of an
+    off-scale point is NOT provably extreme)."""
     from anomaly_detection_spark.operators.mvoutlier import pca_iforest_check
 
     emb = _emb_planted(spark, sf_dir, 8)
+    sub = max(256, _max_group_n(emb, "label"))
     out = pca_iforest_check(
         emb, "label", [f"f{i}" for i in range(8)], n_components=3,
-        contamination=0.02, extra_cols=["vec_id"], n_trees=50, subsample=256,
+        contamination=0.02, extra_cols=["vec_id"], n_trees=50, subsample=sub,
     ).select("vec_id", "code")
     planted, inliers = _invariant_split(out, F.col("vec_id") >= 100_000)
     fp = _fp_gate(inliers, 0.04)
@@ -2294,9 +2314,22 @@ def q_macd_cusum_events(spark, sf_dir) -> DataFrame:
         macd_stages=(0.5,), averaging=5, decay=0.01, cusum_stages=(0.5,),
         extra_cols=("event_id",),
     )
-    return out.select("event_id", F.round("macd", 6).alias("macd"),
-                      "code_macd", F.round("cusum", 6).alias("cusum"),
-                      "code_cusum")
+    # cusum rounds to 4dp WITH a +1e-9 boundary nudge on both sides
+    # (macd keeps plain 6dp): the decayed cusum is a LONG sequential
+    # recurrence where ewm-vs-list_reduce op order differs by ~1 ulp,
+    # and 2-decimal inputs make early-series cusum values land EXACTLY
+    # on decimal half-boundaries (sf1 gate: 3 rows in 1M at e.g.
+    # 0.74635, rounding apart). The nudge decorrelates the boundary
+    # from the decimal atoms (the CLAUDE.md percentile-margin rule);
+    # 4dp gives the 1/|rm|-amplified tail (near all-zero trailing
+    # windows) >=1e4x headroom. NaN (poisoned series) -> NULL as the
+    # oracle.
+    return out.select(
+        "event_id", F.round("macd", 6).alias("macd"), "code_macd",
+        F.when(~F.isnan("cusum"),
+               F.round(F.col("cusum") + F.lit(1e-9), 4) + F.lit(0.0)
+               ).alias("cusum"),
+        "code_cusum")
 
 
 SQL_MACD_CUSUM = f"""
@@ -2938,18 +2971,36 @@ _ROWS_ONLY_PRIORITY = [
 ]
 
 
+# queries that deliberately live PAST the driver's 50-entry evaluation
+# cap (oracle-backed, exercised by tools/check_oracles.py + the
+# checked-in BENCH/gatelogs instead of a driver row), in order.
+_BEYOND_CAP = ["viz_report_events"]
+
+_DRIVER_CAP = 50
+
+
 def _reorder(reg: dict) -> dict:
-    # round 4: exactly 50 oracle-backed queries (8 slots freed by the
-    # drift/integrity/robust-window/trend/construction merges carry the
-    # 8 planted-invariant conversions), so every oracle-backed query
-    # gets a driver row and no deprioritization is needed.
-    oracle = {k: v for k, v in reg.items() if v[1] is not None}
+    # rounds 4-5: the 50 round-4 oracle-backed queries keep their driver
+    # slots (and bench-name continuity); round-5 additions are pinned
+    # AFTER the cap via _BEYOND_CAP. The assert makes the cap
+    # self-checking — a future oracle-backed addition that would
+    # silently push a driver-gated query past position 50 fails loudly
+    # here instead (add it to _BEYOND_CAP or merge it into a suite).
+    oracle = {k: v for k, v in reg.items()
+              if v[1] is not None and k not in _BEYOND_CAP}
     rows_only = {k: v for k, v in reg.items() if v[1] is None}
+    assert len(oracle) <= _DRIVER_CAP, (
+        f"{len(oracle)} oracle-backed queries exceed the driver's "
+        f"{_DRIVER_CAP}-entry cap; merge into a suite or add to "
+        f"_BEYOND_CAP: {sorted(oracle)[_DRIVER_CAP:]}")
     ordered = dict(oracle)
     for k in _ROWS_ONLY_PRIORITY:
         if k in rows_only:
             ordered[k] = rows_only.pop(k)
     ordered.update(rows_only)
+    for k in _BEYOND_CAP:
+        if k in reg:
+            ordered[k] = reg[k]
     return ordered
 
 

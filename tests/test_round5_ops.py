@@ -387,3 +387,85 @@ def test_status_points_and_graph_tail(spark):
     assert sp[14]["avg"] == pytest.approx(win.mean())
     assert sp[14]["hi"] == pytest.approx(win.mean() + 2.0 * win.std(ddof=1))
     assert sp[14]["lo"] == pytest.approx(win.mean() - 2.0 * win.std(ddof=1))
+
+
+def test_gan_retrain_warm_start_exceeds_fit_sample(spark):
+    """Round-5 review: the retrain memory warm start and fire schedule
+    derive from the train set EXACTLY (I = min(len(train), S)), not
+    from the bounded fit sample. train=60 rows with train_sample=16 and
+    S=50 must warm-start 50 rows -> first fire at row max(R, S-I) = R,
+    where the sample-derived schedule would sit idle until row 34."""
+    from anomaly_detection_spark.operators.neural import gan_retrain_check
+
+    rng = np.random.default_rng(7)
+    train_df = spark.createDataFrame(
+        pd.DataFrame({"value": rng.normal(10.0, 1.0, 60)}))
+    stream = rng.normal(10.0, 1.0, 12)
+    rows = [("k1", float(i), float(v)) for i, v in enumerate(stream)]
+    df = spark.createDataFrame(rows, "series string, ts double, value double")
+
+    R = 5
+    got = (gan_retrain_check(
+        spark, df, "series", "ts", ["value"], retrain_interval=R,
+        samples_for_retrain=50, train_df=train_df, n_latent=2,
+        epochs=10, train_sample=16, seed=5)
+        .orderBy("ts").collect())
+    epochs = [r["epoch"] for r in got]
+    # fire at finite row r = R, 2R, ...: row i (0-based) scored with
+    # model epoch i // R
+    assert epochs == [i // R for i in range(len(stream))]
+
+
+def test_gan_retrain_sequential_regime_matches_transcription(spark):
+    """S/R > 32 (the reference's retrain_interval=1 default) routes to
+    the per-series sequential regime — no row explosion — and must
+    still equal the reference-loop transcription element-exact."""
+    from anomaly_detection_spark.operators.neural import (
+        ewm_threshold, fit_autoencoder, gan_retrain_check, mlp_predict,
+    )
+
+    rng = np.random.default_rng(13)
+    train_vals = rng.normal(10.0, 1.0, 40)
+    stream_vals = rng.normal(10.0, 1.0, 20)
+    stream_vals[14] += 8.0
+    R, S, K, LW = 1, 33, 2.0, 5
+    assert S / R > 32                     # sequential regime selected
+
+    train_df = spark.createDataFrame(pd.DataFrame({"value": train_vals}))
+    rows = [("k1", float(i), float(v)) for i, v in enumerate(stream_vals)]
+    df = spark.createDataFrame(rows, "series string, ts double, value double")
+
+    got = (gan_retrain_check(
+        spark, df, "series", "ts", ["value"], retrain_interval=R,
+        samples_for_retrain=S, train_df=train_df, n_latent=2, K=K,
+        len_window=LW, epochs=10, seed=5)
+        .orderBy("ts").collect())
+
+    X = train_vals.reshape(-1, 1).astype(np.float64)
+    mn, mx = float(X.min()), float(X.max())
+    av = (mn + mx) / 2.0
+    Xn = (X - av) / (mx - mn)
+    w, acts, _ = fit_autoencoder(Xn, 2, epochs=10, seed=5)
+    mem = list(Xn[-S:])
+    counter, epoch = 0, 0
+    errs, epochs_seen = [], []
+    for v in stream_vals:
+        xv = (np.array([[v]]) - av) / (mx - mn)
+        errs.append(float(((mlp_predict(w, acts, xv) - xv) ** 2).mean()))
+        epochs_seen.append(epoch)
+        mem.append(xv[0])
+        mem = mem[-S:]
+        counter += 1
+        if counter >= R and len(mem) == S:
+            counter = 0
+            epoch += 1
+            w, acts, _ = fit_autoencoder(np.array(mem), 2, epochs=10,
+                                         seed=5)
+    thr = ewm_threshold(np.array(errs), K, LW)
+    exp_codes = np.where(np.array(errs) >= thr, -1, 1)
+
+    assert [r["epoch"] for r in got] == epochs_seen
+    assert [r["code"] for r in got] == exp_codes.tolist()
+    for r, e in zip(got, errs):
+        assert r["recon_err"] == pytest.approx(e, rel=1e-10)
+    assert epoch >= 15                    # a fire per post-warm-up row

@@ -42,7 +42,8 @@ def main() -> int:
     vals = 50.0 + rng.normal(0, 3.0, args.rows)
     anom = rng.choice(args.rows, size=args.rows // 200, replace=False)
     vals[anom] += rng.choice([-1.0, 1.0], len(anom)) * 60.0
-    rows = [("s", float(i * 60.0), float(v), int(i in set(anom.tolist())))
+    aset = set(anom.tolist())
+    rows = [("s", float(i * 60.0), float(v), int(i in aset))
             for i, v in enumerate(vals)]
     df = spark.createDataFrame(
         rows, "series string, ts double, value double, label int")
