@@ -217,13 +217,18 @@ def test_ann_topk_deterministic_tie_break(spark):
 
 
 def test_registry_fully_oracle_backed():
-    """Round-4 end state: exactly 50 registered queries, every one with
-    a DuckDB oracle (zero rows-only), and every bench.py headline entry
-    resolves to a registered query — guards against future drift."""
+    """Round-4 end state (+ round-5 beyond-cap entries): the driver's
+    first 50 registry slots are exactly the round-4 oracle-backed set,
+    every registered query has a DuckDB oracle (zero rows-only),
+    _BEYOND_CAP entries sit strictly after position 50, and every
+    bench.py headline entry resolves to a registered query — guards
+    against future drift."""
     import bench
-    from anomaly_detection_spark.queries import REGISTRY
+    from anomaly_detection_spark.queries import _BEYOND_CAP, REGISTRY
 
-    assert len(REGISTRY) == 50
+    names = list(REGISTRY)
+    assert len(REGISTRY) == 50 + len(_BEYOND_CAP)
+    assert names[50:] == _BEYOND_CAP
     rows_only = [k for k, (_, sql) in REGISTRY.items() if sql is None]
     assert rows_only == []
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
