@@ -166,13 +166,85 @@ def fingerprint(text: Column, *, k: int = 8) -> Column:
     lite' min-hash of character shingles): order-invariant under
     concatenation shifts, cheap to compare for near-identity. Implemented
     with higher-order functions — sequence over start offsets, hash each
-    k-gram, array_min. Docs shorter than k hash whole."""
+    k-gram, array_min. Docs shorter than k hash whole.
+
+    NB: HOF lambdas are interpreted per element; the sf1 bench measured
+    this linear-with-a-bad-constant (18.7s / 50k docs). Use
+    :func:`rolling_fingerprint` — the Arrow-vectorized Rabin-Karp
+    kernel — on any real corpus; this Column form stays for
+    zero-Python-allowed contexts."""
     n = F.length(text)
     starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     grams = F.transform(starts, lambda i: F.xxhash64(F.substring(text, i, k)))
     return F.when(
         text.isNull() | (n <= 0), F.lit(None).cast("bigint")
     ).otherwise(F.array_min(grams))
+
+
+FNV64_PRIME = 1099511628211  # 0x100000001B3 — public FNV-1 64-bit prime
+
+
+def rolling_fingerprint(df, id_col: str, text_col: str, *, k: int = 8,
+                        out: str = "fp"):
+    """Vectorized document fingerprint: min over rolling k-gram
+    Rabin-Karp hashes h = Horner(codepoints) * FNV64_PRIME mod 2^64.
+    Whole-batch numpy — each Arrow batch's texts concatenate into ONE
+    uint32 codepoint array, the k Horner passes are k vectorized
+    multiply-adds over the full array (uint64 wraparound is exact mod
+    2^64), doc-straddling windows are masked, and per-doc minima come
+    from one ``np.minimum.reduceat``. Zero per-row Python on the long
+    path; docs shorter than k (rare) hash whole in a scalar loop.
+    NULL/empty text -> NULL. Returns (id_col, out bigint) — the hash is
+    reinterpreted as SIGNED 64-bit so engines without unsigned types
+    (Spark, DuckDB BIGINT) can carry it losslessly.
+
+    Scale: one narrow mapInPandas projection, no shuffle; replaces the
+    interpreted-HOF form measured 10x slower per char (sf1 bench,
+    BENCH/BASELINE.md round-5 data-scaling section)."""
+    import numpy as np
+    import pandas as pd
+
+    M = np.uint64(FNV64_PRIME)
+    kk = int(k)
+
+    def kernel(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            valid = texts.notna() & (texts.str.len() > 0)
+            outcol = pd.array([None] * len(pdf), dtype="Int64")
+            ts = texts[valid].tolist()
+            if ts:
+                lens = np.array([len(t) for t in ts], dtype=np.int64)
+                c = np.frombuffer("".join(ts).encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.uint64)
+                N = len(c)
+                off = np.concatenate(([0], np.cumsum(lens)))
+                res = np.zeros(len(ts), dtype=np.uint64)
+                long_d = lens >= kk
+                W = N - kk + 1
+                if W > 0 and long_d.any():
+                    h = np.zeros(W, dtype=np.uint64)
+                    for j in range(kk):
+                        h = h * M + c[j: j + W]
+                    di = np.repeat(np.arange(len(ts)), lens)
+                    h[di[:W] != di[kk - 1:]] = np.uint64(
+                        0xFFFFFFFFFFFFFFFF)   # doc-straddling windows
+                    mins = np.minimum.reduceat(
+                        h, np.minimum(off[:-1], W - 1))
+                    res[long_d] = mins[long_d]
+                for d in np.flatnonzero(~long_d):
+                    # rare short-doc path: Python ints (numpy warns on
+                    # uint64 SCALAR overflow; array ops above are silent)
+                    hh = 0
+                    for ch in c[off[d]: off[d + 1]].tolist():
+                        hh = (hh * FNV64_PRIME + ch) % (1 << 64)
+                    res[d] = np.uint64(hh)
+                outcol[valid.to_numpy()] = res.view(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], out: outcol})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"`{id_col}` {id_type}, `{out}` bigint")
 
 
 def char_shingles(text: Column, *, k: int = 8) -> Column:

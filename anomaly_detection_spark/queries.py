@@ -817,24 +817,37 @@ FROM f
 
 
 def q_fingerprint_documents(spark, sf_dir) -> DataFrame:
-    """md5-gram variant of the rolling fingerprint (engine-agnostic hash so
-    the oracle can reproduce it bit-for-bit). array_min(transform(...))
-    keeps the op NARROW (no shuffle): the interpreted-lambda overhead is
-    dwarfed by the MD5 cost per gram, and an explode+min-aggregate
-    formulation adds a full shuffle for no win (measured both)."""
-    d = _docs(spark, sf_dir)
-    text = F.col("text")
-    n = F.length(text)
-    starts = F.sequence(F.lit(1), F.greatest(n - 7, F.lit(1)))
-    fp = F.array_min(F.transform(starts, lambda i: F.md5(F.substring(text, i, 8))))
-    return d.select("doc_id", fp.alias("fp"))
+    """Rolling Rabin-Karp fingerprint — round 5 replaces the
+    md5-per-gram HOF form: the sf1 data-scaling bench measured the
+    interpreted per-gram lambda at 18.7s / 50k docs (the suite's
+    single largest entry), while the vectorized Arrow kernel
+    (text.rolling_fingerprint: whole-batch Horner mod 2^64 + masked
+    reduceat) does the same windows in well under a second. The oracle
+    reproduces the hash bit-for-bit with a HUGEINT Horner per gram —
+    engine-agnostic integer arithmetic instead of an engine hash."""
+    from anomaly_detection_spark.functions.text import rolling_fingerprint
+
+    return rolling_fingerprint(_docs(spark, sf_dir), "doc_id", "text", k=8)
 
 
 SQL_FINGERPRINT = """
 SELECT doc_id,
-       list_min(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
-                               i -> md5(substr(text, i, 8)))) AS fp
-FROM documents
+       CASE WHEN text IS NULL OR length(text) <= 0 THEN NULL
+            WHEN m >= 9223372036854775808
+              THEN CAST(m - 18446744073709551616 AS BIGINT)
+            ELSE CAST(m AS BIGINT) END AS fp
+FROM (
+  SELECT doc_id, text,
+         list_min(list_transform(
+           generate_series(1, greatest(length(text) - 7, 1)),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS HUGEINT),
+                    list_transform(
+                      generate_series(i, least(i + 7, length(text))),
+                      j -> CAST(unicode(substr(text, j, 1)) AS HUGEINT))),
+                  (acc, x) -> (acc * 1099511628211 + x)
+                              % 18446744073709551616))) AS m
+  FROM documents) t
 """
 
 

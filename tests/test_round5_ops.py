@@ -469,3 +469,49 @@ def test_gan_retrain_sequential_regime_matches_transcription(spark):
     for r, e in zip(got, errs):
         assert r["recon_err"] == pytest.approx(e, rel=1e-10)
     assert epoch >= 15                    # a fire per post-warm-up row
+
+
+def test_rolling_fingerprint_matches_scalar_reference(spark):
+    """The whole-batch Rabin-Karp kernel (concatenated codepoints,
+    masked straddle windows, reduceat minima) must equal the per-doc
+    scalar Horner mod 2^64 — including unicode, short (<k), empty and
+    NULL texts, and identical texts -> identical fingerprints."""
+    from anomaly_detection_spark.functions.text import (
+        FNV64_PRIME, rolling_fingerprint,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",   # exact dup
+        "günther über straße 漢字テスト",                  # multi-byte
+        "short",                                          # < k
+        "",                                               # empty -> NULL
+        None,                                             # NULL -> NULL
+        "exactly8",                                       # == k, one window
+        "ab",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["fp"] for r in
+           rolling_fingerprint(df, "doc_id", "text", k=8).collect()}
+
+    def horner_u(s):
+        h = 0
+        for ch in s:
+            h = (h * FNV64_PRIME + ord(ch)) % (1 << 64)
+        return h
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    for i, t in enumerate(texts):
+        if not t:
+            assert got[i] is None
+        elif len(t) < 8:
+            assert got[i] == signed(horner_u(t))
+        else:
+            # min over the UNSIGNED hashes (what both engine and
+            # DuckDB-HUGEINT oracle compute), then reinterpret signed
+            assert got[i] == signed(min(horner_u(t[j: j + 8])
+                                        for j in range(len(t) - 7)))
+    assert got[0] == got[1]
