@@ -41,7 +41,7 @@ HEADLINE = [
     "integrity_suite_lineitem_orders", # salted uniq + anti join + bloom
     "quality_tokens_documents",        # quality features + token counts
     "lang_id_documents",               # marker-count expressions
-    "fingerprint_documents",           # rolling-hash HOF
+    "fingerprint_documents",           # whole-batch Rabin-Karp kernel (r5)
     "minhash_near_dup_documents",      # LSH shuffle + verify join
     "simhash_near_dup_documents",      # vectorized pandas UDF + pigeonhole join
     "cosine_topk_embeddings",          # broadcast crossJoin + HOF dot
