@@ -403,7 +403,12 @@ def gan_retrain_check(
         *[F.col(c).cast("double").alias(c) for c in feats])
     fin = None
     for c in feats:
-        p = ~F.isnan(F.col(c)) & F.col(c).isNotNull()
+        # truly FINITE (NaN, NULL and +-inf all excluded): one inf
+        # training value would make mx=inf -> av=inf -> all-NaN
+        # normalized fit/warm memory -> every verdict silently OK
+        # (round-5 review; restores the old np.isfinite guard)
+        p = (~F.isnan(F.col(c)) & F.col(c).isNotNull()
+             & (F.abs(F.col(c)) < F.lit(float("inf"))))
         fin = p if fin is None else (fin & p)
     tf = tf.filter(fin)
     r0 = tf.agg(
@@ -432,7 +437,12 @@ def gan_retrain_check(
     # finite rows drive the schedule; non-finite rows rejoin Undefined
     finite = None
     for c in feats:
-        p = ~F.isnan(F.col(c).cast("double")) & F.col(c).isNotNull()
+        cd = F.col(c).cast("double")
+        # same truly-finite rule as the train side: the docstring's
+        # "non-finite rows neither enter the memory nor advance the
+        # counter" must include +-inf, which would poison every later
+        # retrain buffer
+        p = (~F.isnan(cd) & cd.isNotNull() & (F.abs(cd) < F.lit(float("inf"))))
         finite = p if finite is None else (finite & p)
     live = df.select(*cols, *feats).filter(finite)
     dead = df.select(*cols, *feats).filter(~finite)

@@ -1071,7 +1071,7 @@ def q_iforest_embeddings(spark, sf_dir) -> DataFrame:
     sub = max(256, _max_group_n(emb, "label"))
     out = iforest_check(
         emb, "label", ["f0", "f1", "f2"], contamination=0.02,
-        extra_cols=["vec_id"], n_trees=50, subsample=sub,
+        extra_cols=["vec_id"], n_trees=50, subsample=sub, max_train=sub,
     ).select("vec_id", "code")
     planted, inliers = _invariant_split(out, F.col("vec_id") >= 100_000)
     fp = _fp_gate(inliers, 0.04)
@@ -1347,6 +1347,7 @@ def q_pca_iforest_embeddings(spark, sf_dir) -> DataFrame:
     out = pca_iforest_check(
         emb, "label", [f"f{i}" for i in range(8)], n_components=3,
         contamination=0.02, extra_cols=["vec_id"], n_trees=50, subsample=sub,
+        max_train=sub,
     ).select("vec_id", "code")
     planted, inliers = _invariant_split(out, F.col("vec_id") >= 100_000)
     fp = _fp_gate(inliers, 0.04)
@@ -3005,7 +3006,7 @@ def _reorder(reg: dict) -> dict:
     assert len(oracle) <= _DRIVER_CAP, (
         f"{len(oracle)} oracle-backed queries exceed the driver's "
         f"{_DRIVER_CAP}-entry cap; merge into a suite or add to "
-        f"_BEYOND_CAP: {sorted(oracle)[_DRIVER_CAP:]}")
+        f"_BEYOND_CAP: {list(oracle)[_DRIVER_CAP:]}")
     ordered = dict(oracle)
     for k in _ROWS_ONLY_PRIORITY:
         if k in rows_only:

@@ -515,3 +515,27 @@ def test_rolling_fingerprint_matches_scalar_reference(spark):
             assert got[i] == signed(min(horner_u(t[j: j + 8])
                                         for j in range(len(t) - 7)))
     assert got[0] == got[1]
+
+
+def test_gan_retrain_infinite_train_rows_excluded(spark):
+    """Round-5 review: a +-inf training value must be excluded like
+    NaN/NULL (mx=inf would make av=inf and every normalized row NaN ->
+    all verdicts silently OK). The finite rows alone drive the
+    normalization, warm memory and schedule."""
+    from anomaly_detection_spark.operators.neural import gan_retrain_check
+
+    rng = np.random.default_rng(2)
+    vals = list(rng.normal(10.0, 1.0, 20)) + [float("inf"), float("-inf")]
+    train_df = spark.createDataFrame(pd.DataFrame({"value": vals}))
+    stream = rng.normal(10.0, 1.0, 8)
+    df = spark.createDataFrame(
+        [("k1", float(i), float(v)) for i, v in enumerate(stream)],
+        "series string, ts double, value double")
+
+    got = (gan_retrain_check(
+        spark, df, "series", "ts", ["value"], retrain_interval=3,
+        samples_for_retrain=10, train_df=train_df, n_latent=2,
+        epochs=10, seed=5).orderBy("ts").collect())
+    errs = [r["recon_err"] for r in got]
+    assert all(e is not None and np.isfinite(e) for e in errs)
+    assert all(r["code"] in (-1, 1) for r in got)
