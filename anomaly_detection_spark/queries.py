@@ -2946,6 +2946,167 @@ SELECT * FROM gt UNION ALL SELECT * FROM sp UNION ALL SELECT * FROM hb
 """
 
 
+# ---------------------------------------------------------------------------
+# round 5b: the training-data curation tail — benchmark decontamination,
+# Gopher repetition/boilerplate metrics, token-budget mixture sampling.
+# All three live PAST the driver's 50-entry cap (like viz_report_events):
+# oracle-backed, gated by tools/check_oracles.py + BENCH/gatelogs.
+# ---------------------------------------------------------------------------
+
+def q_decontam_documents(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appx C / Gopher A.5 recipe): flag
+    docs sharing any normalized word 8-gram with an eval benchmark.
+    The benchmark here is a deterministic slice of the corpus itself
+    (200-char prefixes of every 97th doc), so the planted signal is
+    exact: those docs MUST self-flag, plus whatever word-soup collisions
+    both engines derive identically.
+
+    hll_accuracy pattern: the output rows are the EXACT string-key
+    report (DuckDB-replayable); ``hash_agrees`` asserts per-doc that the
+    scale path (xxhash64 broadcast keys) produced the identical count —
+    the oracle emits literal TRUE.
+
+    Plan shape: benchmark grams broadcast both paths; corpus grams meet
+    them in the scan stage; only matched pairs shuffle to the per-doc
+    count; the exact==hash comparison is a join of two doc-count-sized
+    reports (AQE broadcasts the smaller).
+    """
+    from anomaly_detection_spark.functions.decontam import (
+        contamination_report,
+    )
+
+    d = _docs(spark, sf_dir)
+    bench = (d.filter((F.col("doc_id") % 97) == 3)
+             .select(F.substring("text", 1, 200).alias("text")))
+    exact = contamination_report(d, bench, n=8, hashed=False)
+    hashed = (contamination_report(d, bench, n=8, hashed=True)
+              .withColumnRenamed("n_shared_grams", "n_hash")
+              .drop("contaminated"))
+    return (exact.join(hashed, "doc_id")
+            .select(
+                "doc_id", "n_shared_grams", "contaminated",
+                (F.col("n_shared_grams") == F.col("n_hash"))
+                .alias("hash_agrees"))
+            .filter(F.col("contaminated")))  # violation rows only
+
+
+def _sql_decontam() -> str:
+    from anomaly_detection_spark.functions.decontam import (
+        contamination_report_sql,
+    )
+
+    inner = contamination_report_sql(
+        docs_sql="SELECT doc_id, text FROM documents",
+        bench_sql=("SELECT substr(text, 1, 200) AS text FROM documents "
+                   "WHERE doc_id % 97 = 3"),
+        n=8)
+    return (f"SELECT doc_id, n_shared_grams, contaminated, "
+            f"TRUE AS hash_agrees FROM ({inner}) WHERE contaminated")
+
+
+SQL_DECONTAM = _sql_decontam()
+
+
+def q_repetition_suite_documents(spark, sf_dir) -> DataFrame:
+    """Gopher repetition/boilerplate metrics over a deterministic
+    multi-line view of the corpus (docs are single-line word soup, so
+    the query constructs 3-line docs from substrings; every 4th doc
+    repeats its first line — a planted dup_line_frac = 1/3 signal).
+
+    Runs the SCALE-path kernel (repetition_features_vec: all metrics in
+    one mapInPandas projection inside the scan, zero shuffle); the
+    oracle replays the semantic explode+aggregate definition in SQL, and
+    the two Spark forms are differential-tested in pytest.
+    """
+    from anomaly_detection_spark.functions.repetition import (
+        repetition_features_vec,
+    )
+
+    d = _docs(spark, sf_dir)
+    lined = d.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 4) == 0,
+               F.concat_ws("\n", F.substring("text", 1, 80),
+                           F.substring("text", 41, 80),
+                           F.substring("text", 1, 80)))
+        .otherwise(
+            F.concat_ws("\n", F.substring("text", 1, 80),
+                        F.substring("text", 81, 80),
+                        F.substring("text", 161, 80)))
+        .alias("text"))
+    r = repetition_features_vec(lined)
+    return r.select(
+        "doc_id", "n_lines", "n_distinct_lines",
+        _R6(F.col("dup_line_frac")).alias("dup_line_frac"),
+        _R6(F.col("dup_line_char_frac")).alias("dup_line_char_frac"),
+        "top_bigram",
+        _R6(F.col("top_bigram_char_frac")).alias("top_bigram_char_frac"))
+
+
+def _sql_repetition() -> str:
+    from anomaly_detection_spark.functions.repetition import (
+        repetition_features_sql,
+    )
+
+    lined = """SELECT doc_id, CASE WHEN doc_id % 4 = 0
+  THEN concat_ws(e'\\n', substr(text, 1, 80), substr(text, 41, 80),
+                 substr(text, 1, 80))
+  ELSE concat_ws(e'\\n', substr(text, 1, 80), substr(text, 81, 80),
+                 substr(text, 161, 80)) END AS text
+FROM documents"""
+    inner = repetition_features_sql(docs_sql=lined)
+    return f"""
+SELECT doc_id, n_lines, n_distinct_lines,
+       round(dup_line_frac, 6) AS dup_line_frac,
+       round(dup_line_char_frac, 6) AS dup_line_char_frac,
+       top_bigram,
+       round(top_bigram_char_frac, 6) AS top_bigram_char_frac
+FROM ({inner})
+"""
+
+
+SQL_REPETITION = _sql_repetition()
+
+# Token budgets for the mixture query: en oversubscribed (rate clamps to
+# 1.0 — the keep-everything branch), others fractional. Budgets scale
+# with nothing — rates adapt to the sf via the measured totals.
+_MIXTURE_BUDGETS = {"en": 1_000_000.0, "de": 9_000.0, "fr": 4_000.0,
+                    "es": 2_500.0}
+
+
+def q_mixture_sample_documents(spark, sf_dir) -> DataFrame:
+    """Token-budget mixture sampling (the GPT-3/LLaMA data-mixture
+    recipe): per-language keep rates derived from per-language token
+    budgets, applied as ONE deterministic hash filter (portable Knuth
+    multiplicative hash — the oracle replays the sample bit-for-bit,
+    which no rand()-based sampler could offer). Output = the sampled
+    rows themselves, so the driver hash pins the exact membership.
+
+    Plan: one map-side-combined agg for totals (rows = #langs),
+    broadcast back onto the scan, codegen'd integer filter — the corpus
+    never shuffles. ``en`` is oversubscribed to pin the rate-clamp
+    branch at every sf.
+    """
+    from anomaly_detection_spark.functions.sampling import budget_mixture
+
+    d = _docs(spark, sf_dir)
+    s = budget_mixture(d, _MIXTURE_BUDGETS, seed=7)
+    return s.select(
+        "doc_id", "lang", F.col("_tokens").alias("tokens"),
+        _R6(F.col("_rate")).alias("rate"))
+
+
+def _sql_mixture() -> str:
+    from anomaly_detection_spark.functions.sampling import budget_mixture_sql
+
+    inner = budget_mixture_sql(_MIXTURE_BUDGETS, seed=7)
+    return (f"SELECT doc_id, lang, _tokens AS tokens, "
+            f"round(_rate, 6) AS rate FROM ({inner})")
+
+
+SQL_MIXTURE = _sql_mixture()
+
+
 REGISTRY.update({
     "welford_suite_events": (q_welford_suite_events, SQL_WELFORD_SUITE),
     "ema_suite_events": (q_ema_suite_events, SQL_EMA_SUITE),
@@ -2963,10 +3124,14 @@ REGISTRY.update({
     "ivf_topk_embeddings": (q_ivf_topk_embeddings, SQL_ANN_RECALL),
     "curation_full_documents": (q_curation_full_documents,
                                 SQL_CURATION_FULL),
-    # deliberately LAST (51st): the driver gate caps at 50 entries, and
+    # deliberately LAST (51st+): the driver gate caps at 50 entries, and
     # all 50 r4 rows keep their driver slots + bench-name continuity;
-    # this one is covered by the checked-in multi-sf gate logs instead.
+    # these are covered by the checked-in multi-sf gate logs instead.
     "viz_report_events": (q_viz_report_events, SQL_VIZ_REPORT),
+    "decontam_documents": (q_decontam_documents, SQL_DECONTAM),
+    "repetition_suite_documents": (q_repetition_suite_documents,
+                                   SQL_REPETITION),
+    "mixture_sample_documents": (q_mixture_sample_documents, SQL_MIXTURE),
 })
 
 
@@ -2988,7 +3153,8 @@ _ROWS_ONLY_PRIORITY = [
 # queries that deliberately live PAST the driver's 50-entry evaluation
 # cap (oracle-backed, exercised by tools/check_oracles.py + the
 # checked-in BENCH/gatelogs instead of a driver row), in order.
-_BEYOND_CAP = ["viz_report_events"]
+_BEYOND_CAP = ["viz_report_events", "decontam_documents",
+               "repetition_suite_documents", "mixture_sample_documents"]
 
 _DRIVER_CAP = 50
 

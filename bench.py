@@ -70,6 +70,10 @@ HEADLINE = [
     #   ^ added round 5 (totals vs BENCH_r04 comparable minus this entry;
     #     combination_alicante also grew the config-compile sub-suite in
     #     r5 — compare per-query)
+    "decontam_documents",              # 8-gram overlap vs broadcast bench set
+    "repetition_suite_documents",      # one-pass mapInPandas Gopher metrics
+    "mixture_sample_documents",        # broadcast-rate deterministic sample
+    #   ^ round 5b: totals vs earlier rounds comparable minus these three
 ]
 
 

@@ -10,6 +10,14 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(scope="session")
+def sf_dir_small():
+    """Smallest driver-generated parquet scale factor (real corpus
+    slices for tests that want actual documents rather than hand-built
+    rows)."""
+    return "/root/testdata/sf0.001"
+
+
 def series_df(spark, values, key="k1", start_ts=1459926000.0, step=3600.0):
     """One series as (series, ts, value) rows — mirrors the reference's
     create_message loop (/root/reference/src/unit_tests.py:60-66)."""

@@ -1,0 +1,203 @@
+"""Round-5b additions: benchmark decontamination, Gopher repetition
+metrics (semantic vs vectorized-kernel differential), and deterministic
+token-budget mixture sampling."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.functions.decontam import (
+    contamination_report, word_ngrams,
+)
+from anomaly_detection_spark.functions.repetition import (
+    repetition_features, repetition_features_vec,
+)
+from anomaly_detection_spark.functions.sampling import (
+    budget_mixture, deterministic_sample, hash_unit,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "pack my box with five dozen liquor jugs right now please ok"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely unrelated content about spark shuffles and joins"),
+        (4, "tiny"),
+        (5, ""),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_word_ngrams_basics(spark):
+    df = spark.createDataFrame(
+        [("A b  c d",), ("a b",), ("",)], "t string")
+    out = df.select(word_ngrams(F.col("t"), 3).alias("g")).collect()
+    assert out[0]["g"] == ["a b c", "b c d"]   # lowered, run-split
+    assert out[1]["g"] == []                    # shorter than n
+    assert out[2]["g"] == []
+
+
+def test_contamination_exact_and_hashed_agree(spark):
+    docs = _docs(spark)
+    bench = spark.createDataFrame(
+        [("THE QUICK brown fox jumps over the lazy dog",)], "text string")
+    exact = {r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+             for r in contamination_report(docs, bench, n=8,
+                                           hashed=False).collect()}
+    hashed = {r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+              for r in contamination_report(docs, bench, n=8,
+                                            hashed=True).collect()}
+    assert exact == hashed
+    # docs 0 and 2 share the planted 8-grams (case-insensitive); the
+    # bench text has 9 words -> 2 distinct 8-grams, both inside doc 0/2.
+    assert exact[0] == (2, True) and exact[2] == (2, True)
+    # every doc is reported, including short/empty/null ones
+    assert set(exact) == {0, 1, 2, 3, 4, 5, 6}
+    assert exact[4] == (0, False) and exact[5] == (0, False)
+    assert exact[6] == (0, False)
+
+
+def test_contamination_broadcasts_the_benchmark(spark):
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") == 0).select("text")
+    plan = contamination_report(docs, bench, n=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+def _lined_docs(spark):
+    rows = [
+        (0, "aaa bbb\nccc ddd\naaa bbb\neee fff"),   # line dup (2 of 4)
+        (1, "x y\nz w"),                               # no dups
+        (2, "r r r r r r"),                            # one line, top gram 'r r'
+        (3, ""),                                       # empty
+        (4, None),                                     # null
+        (5, "solo"),                                   # 1 word: no bigram
+        (6, "\n\nq p\n\n"),                            # empty lines filtered
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_repetition_semantic_known_values(spark):
+    out = {r["doc_id"]: r.asDict()
+           for r in repetition_features(_lined_docs(spark)).collect()}
+    d0 = out[0]
+    assert d0["n_lines"] == 4 and d0["n_distinct_lines"] == 3
+    assert d0["dup_line_frac"] == pytest.approx(0.25)
+    # 'aaa bbb' (7 chars) twice = 14 of 7+7+7+7=28 line chars
+    assert d0["dup_line_char_frac"] == pytest.approx(0.5)
+    d2 = out[2]
+    assert d2["top_bigram"] == "r r"
+    # 5 occurrences x 3 chars / 11 chars
+    assert d2["top_bigram_char_frac"] == pytest.approx(15 / 11)
+    assert out[3]["n_lines"] == 0 and out[3]["dup_line_frac"] == 0.0
+    assert out[4]["n_lines"] == 0
+    assert out[5]["top_bigram"] is None
+    assert out[5]["top_bigram_char_frac"] == 0.0
+    assert out[6]["n_lines"] == 1  # empty lines dropped
+
+
+def test_repetition_vec_equals_semantic(spark, sf_dir_small):
+    """The mapInPandas scale kernel must reproduce the explode+aggregate
+    semantics element-exactly, on hand-built edge docs AND a real
+    corpus slice."""
+    for df in (
+        _lined_docs(spark),
+        spark.read.parquet(f"{sf_dir_small}/documents.parquet")
+        .limit(200)
+        .select("doc_id", F.concat_ws(
+            "\n", F.substring("text", 1, 60), F.substring("text", 31, 60),
+            F.substring("text", 1, 60)).alias("text")),
+    ):
+        a = {r["doc_id"]: r for r in repetition_features(df).collect()}
+        b = {r["doc_id"]: r for r in repetition_features_vec(df).collect()}
+        assert set(a) == set(b)
+        for k in a:
+            ra, rb = a[k], b[k]
+            assert (ra["n_lines"], ra["n_distinct_lines"],
+                    ra["top_bigram"]) == \
+                   (rb["n_lines"], rb["n_distinct_lines"], rb["top_bigram"])
+            for c in ("dup_line_frac", "dup_line_char_frac",
+                      "top_bigram_char_frac"):
+                assert ra[c] == pytest.approx(rb[c], abs=1e-12), (k, c)
+
+
+def test_repetition_vec_plan_has_no_shuffle(spark):
+    plan = repetition_features_vec(_lined_docs(spark))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # all metrics computed inside the scan
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / mixture
+# ---------------------------------------------------------------------------
+
+def test_hash_unit_range_and_determinism(spark):
+    df = spark.range(0, 5000).select(
+        hash_unit(F.col("id"), seed=3).alias("u"))
+    rows = [r["u"] for r in df.collect()]
+    assert all(0.0 <= u < 1.0 for u in rows)
+    again = [r["u"] for r in df.collect()]
+    assert rows == again
+    # roughly uniform: mean within 3 sigma of 0.5
+    m = sum(rows) / len(rows)
+    assert abs(m - 0.5) < 3 * (1 / math.sqrt(12 * len(rows)))
+
+
+def test_deterministic_sample_is_stable_and_seeded(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in
+          deterministic_sample(df, "doc_id", 0.25, seed=1).collect()}
+    s2 = {r["doc_id"] for r in
+          deterministic_sample(df, "doc_id", 0.25, seed=1).collect()}
+    s3 = {r["doc_id"] for r in
+          deterministic_sample(df, "doc_id", 0.25, seed=2).collect()}
+    assert s1 == s2
+    assert s1 != s3
+    assert abs(len(s1) / 2000 - 0.25) < 0.05
+    # nesting property: a higher rate strictly contains a lower one
+    s_big = {r["doc_id"] for r in
+             deterministic_sample(df, "doc_id", 0.5, seed=1).collect()}
+    assert s1 <= s_big
+
+
+def test_budget_mixture_rates_and_clamp(spark, sf_dir_small):
+    docs = spark.read.parquet(f"{sf_dir_small}/documents.parquet")
+    budgets = {"en": 10_000_000.0, "de": 3_000.0}
+    out = budget_mixture(docs, budgets, seed=7)
+    rows = out.select("doc_id", "lang", "_tokens", "_rate").collect()
+    langs = {r["lang"] for r in rows}
+    assert langs <= {"en", "de"}  # absent strata dropped
+    en_rate = {r["_rate"] for r in rows if r["lang"] == "en"}
+    assert en_rate == {1.0}  # oversubscribed budget clamps
+    # fractional stratum: sampled tokens land near the budget
+    de_tokens = sum(r["_tokens"] for r in rows if r["lang"] == "de")
+    de_total = (docs.filter(F.col("lang") == "de").count())
+    if de_total > 50:  # enough docs for the concentration bound
+        assert 0.4 * 3_000 < de_tokens < 2.5 * 3_000
+    # en keeps every doc (rate 1.0)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert sum(1 for r in rows if r["lang"] == "en") == n_en
+
+
+def test_budget_mixture_corpus_never_shuffles(spark, sf_dir_small):
+    """The rate table joins back by BROADCAST; the only exchange in the
+    plan is the few-row totals aggregate, never the corpus itself."""
+    docs = spark.read.parquet(f"{sf_dir_small}/documents.parquet")
+    plan = budget_mixture(docs, {"en": 5000.0}, seed=7)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
