@@ -2963,30 +2963,26 @@ def q_decontam_documents(spark, sf_dir) -> DataFrame:
 
     hll_accuracy pattern: the output rows are the EXACT string-key
     report (DuckDB-replayable); ``hash_agrees`` asserts per-doc that the
-    scale path (xxhash64 broadcast keys) produced the identical count —
-    the oracle emits literal TRUE.
+    scale path (xxhash64 keys) produced the identical count — the
+    oracle emits literal TRUE.
 
-    Plan shape: benchmark grams broadcast both paths; corpus grams meet
-    them in the scan stage; only matched pairs shuffle to the per-doc
-    count; the exact==hash comparison is a join of two doc-count-sized
-    reports (AQE broadcasts the smaller).
+    Plan shape (contamination_report_fused): ONE corpus gram explode
+    (vectorized mapInPandas kernel — warm 4.1s HOF vs 1.1s vec at
+    sf0.1, PLANS lesson 1), hash keys added post-explode by codegen,
+    ONE broadcast join carrying both the bench gram string and its
+    hash, both counts from one aggregate; only matched pairs shuffle.
+    Whole query warm 6.8s (two-pass HOF) -> 2.1s fused at sf0.1. The
+    two-pass exact-vs-hash form (contamination_report ×2) is
+    differential-tested equal in pytest.
     """
     from anomaly_detection_spark.functions.decontam import (
-        contamination_report,
+        contamination_report_fused,
     )
 
     d = _docs(spark, sf_dir)
     bench = (d.filter((F.col("doc_id") % 97) == 3)
              .select(F.substring("text", 1, 200).alias("text")))
-    exact = contamination_report(d, bench, n=8, hashed=False)
-    hashed = (contamination_report(d, bench, n=8, hashed=True)
-              .withColumnRenamed("n_shared_grams", "n_hash")
-              .drop("contaminated"))
-    return (exact.join(hashed, "doc_id")
-            .select(
-                "doc_id", "n_shared_grams", "contaminated",
-                (F.col("n_shared_grams") == F.col("n_hash"))
-                .alias("hash_agrees"))
+    return (contamination_report_fused(d, bench, n=8)
             .filter(F.col("contaminated")))  # violation rows only
 
 

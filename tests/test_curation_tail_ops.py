@@ -9,7 +9,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from anomaly_detection_spark.functions.decontam import (
-    contamination_report, word_ngrams,
+    contamination_report, contamination_report_fused, word_ngram_pairs_vec,
+    word_ngrams,
 )
 from anomaly_detection_spark.functions.repetition import (
     repetition_features, repetition_features_vec,
@@ -72,6 +73,42 @@ def test_contamination_broadcasts_the_benchmark(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_word_ngram_pairs_vec_equals_hof(spark, sf_dir_small):
+    """The mapInPandas gram kernel must produce the identical distinct
+    (doc_id, gram) pair set as explode(word_ngrams(...)), on edge docs
+    (case, whitespace runs, short/empty/null) AND a real corpus slice."""
+    for n, df in ((3, _docs(spark)),
+                  (8, _docs(spark)),
+                  (8, spark.read.parquet(
+                      f"{sf_dir_small}/documents.parquet").limit(300))):
+        hof = {(r["doc_id"], r["gram"]) for r in
+               df.select("doc_id",
+                         F.explode(word_ngrams(F.col("text"), n))
+                         .alias("gram")).collect()}
+        vec = [(r["doc_id"], r["gram"]) for r in
+               word_ngram_pairs_vec(df, n=n).collect()]
+        assert len(vec) == len(set(vec))  # distinct per doc
+        assert set(vec) == hof, n
+
+
+def test_contamination_fused_equals_two_pass(spark):
+    docs = _docs(spark)
+    bench = spark.createDataFrame(
+        [("THE QUICK brown fox jumps over the lazy dog",),
+         ("pack my box with five dozen liquor jugs right now",)],
+        "text string")
+    two = {r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+           for r in contamination_report(docs, bench, n=8,
+                                         hashed=False).collect()}
+    fused = {r["doc_id"]: r for r in
+             contamination_report_fused(docs, bench, n=8).collect()}
+    assert set(fused) == set(two)
+    for k, (n_exact, flag) in two.items():
+        assert (fused[k]["n_shared_grams"], fused[k]["contaminated"]) \
+            == (n_exact, flag), k
+        assert fused[k]["hash_agrees"] is True
 
 
 # ---------------------------------------------------------------------------
