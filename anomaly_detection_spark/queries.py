@@ -3102,6 +3102,125 @@ def _sql_mixture() -> str:
 
 SQL_MIXTURE = _sql_mixture()
 
+# PII/blocklist planting constants: spans are pure functions of doc_id
+# so both engines synthesize the identical corpus; moduli are coprime
+# enough that doc 0 carries EVERY span type (the overlap edge) and
+# spam{0,1}.example URLs are blocked while spam2.example is not —
+# pinning the not-on-blocklist branch at every sf.
+_PII_BLOCKLIST = ["spam0.example", "spam1.example"]
+
+
+def q_pii_redact_documents(spark, sf_dir) -> DataFrame:
+    """PII detection + redaction + URL-blocklist filtering (the
+    C4/Dolma scrubbing recipe) over a deterministically PII-planted
+    corpus view: every 7th doc gains an email, 11th an IPv4, 13th a
+    phone number, 17th a URL (host spam{0,1,2}.example; 0/1 are on the
+    blocklist).
+
+    Output per doc: pattern counts, the JOIN-path blocked flag,
+    ``block_agrees`` asserting the broadcast-join path equals the
+    literal-expression path (oracle emits TRUE — the hll_accuracy
+    pattern), and the redacted text pinned by md5 so the full
+    replacement semantics are hash-compared cross-engine.
+
+    Plan shape: counts/redaction are codegen regex expressions inside
+    the scan (zero Python, zero shuffle); the blocklist check explodes
+    distinct (doc, host) pairs in the scan and meets the BROADCAST
+    blocklist — only matched pairs survive; the flags-to-report join is
+    doc-count-sized (AQE broadcasts). The two scans over the planted
+    projection are scan+project only — the regex work runs once, on the
+    report side.
+    """
+    from anomaly_detection_spark.functions.pii import (
+        blocked_by_join, blocked_flag_expr, pii_counts, redact_pii,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+
+    def _when(mod, frag):
+        return F.when((did % mod) == 0, frag).otherwise(F.lit(""))
+
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            _when(7, F.concat(F.lit(" contact user"), did.cast("string"),
+                              F.lit("@example"), (did % 5).cast("string"),
+                              F.lit(".com"))),
+            _when(11, F.concat(F.lit(" from 10."),
+                               (did % 200).cast("string"), F.lit(".0."),
+                               (did % 250).cast("string"))),
+            _when(13, F.concat(F.lit(" call 555-"),
+                               F.lpad((did % 1000).cast("string"), 3, "0"),
+                               F.lit("-"),
+                               F.lpad((did % 10000).cast("string"), 4, "0"))),
+            _when(17, F.concat(F.lit(" see https://spam"),
+                               (did % 3).cast("string"),
+                               F.lit(".example/p"),
+                               (did % 9).cast("string"))),
+        ).alias("text"))
+
+    bl = spark.createDataFrame([(dom,) for dom in _PII_BLOCKLIST],
+                               "domain string")
+    flags = blocked_by_join(planted, bl)
+    c = pii_counts(F.col("text"))
+    red = redact_pii(F.col("text"))
+    rep = planted.select(
+        "doc_id", c["n_emails"], c["n_phones"], c["n_ipv4"], c["n_urls"],
+        blocked_flag_expr(F.col("text"), _PII_BLOCKLIST)
+        .alias("_expr_blocked"),
+        F.length(red).alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"))
+    return (rep.join(flags, "doc_id")
+            .select(
+                "doc_id", "n_emails", "n_phones", "n_ipv4", "n_urls",
+                "blocked",
+                (F.col("blocked") == F.col("_expr_blocked"))
+                .alias("block_agrees"),
+                "redacted_len", "redacted_md5"))
+
+
+def _sql_pii() -> str:
+    from anomaly_detection_spark.functions.pii import (
+        blocked_flag_sql, pii_counts_sql, redact_pii_sql,
+    )
+
+    counts = pii_counts_sql("text")
+    red = redact_pii_sql("text")
+    count_cols = ",\n       ".join(
+        f"CAST({sql} AS INT) AS {name}" for name, sql in counts.items())
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+              || CAST(doc_id AS VARCHAR) || '@example'
+              || CAST(doc_id % 5 AS VARCHAR) || '.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' from 10.'
+              || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' call 555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' see https://spam'
+              || CAST(doc_id % 3 AS VARCHAR) || '.example/p'
+              || CAST(doc_id % 9 AS VARCHAR) ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       {count_cols},
+       {blocked_flag_sql('text', _PII_BLOCKLIST)} AS blocked,
+       TRUE AS block_agrees,
+       CAST(length({red}) AS INT) AS redacted_len,
+       md5({red}) AS redacted_md5
+FROM planted
+"""
+
+
+SQL_PII = _sql_pii()
+
 
 REGISTRY.update({
     "welford_suite_events": (q_welford_suite_events, SQL_WELFORD_SUITE),
@@ -3128,6 +3247,7 @@ REGISTRY.update({
     "repetition_suite_documents": (q_repetition_suite_documents,
                                    SQL_REPETITION),
     "mixture_sample_documents": (q_mixture_sample_documents, SQL_MIXTURE),
+    "pii_redact_documents": (q_pii_redact_documents, SQL_PII),
 })
 
 
@@ -3150,7 +3270,8 @@ _ROWS_ONLY_PRIORITY = [
 # cap (oracle-backed, exercised by tools/check_oracles.py + the
 # checked-in BENCH/gatelogs instead of a driver row), in order.
 _BEYOND_CAP = ["viz_report_events", "decontam_documents",
-               "repetition_suite_documents", "mixture_sample_documents"]
+               "repetition_suite_documents", "mixture_sample_documents",
+               "pii_redact_documents"]
 
 _DRIVER_CAP = 50
 

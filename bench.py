@@ -73,7 +73,8 @@ HEADLINE = [
     "decontam_documents",              # 8-gram overlap vs broadcast bench set
     "repetition_suite_documents",      # one-pass mapInPandas Gopher metrics
     "mixture_sample_documents",        # broadcast-rate deterministic sample
-    #   ^ round 5b: totals vs earlier rounds comparable minus these three
+    "pii_redact_documents",            # codegen regex scrub + blocklist join
+    #   ^ round 5b: totals vs earlier rounds comparable minus these four
 ]
 
 

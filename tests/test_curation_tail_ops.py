@@ -1,6 +1,7 @@
 """Round-5b additions: benchmark decontamination, Gopher repetition
-metrics (semantic vs vectorized-kernel differential), and deterministic
-token-budget mixture sampling."""
+metrics (semantic vs vectorized-kernel differential), deterministic
+token-budget mixture sampling, and PII detection/redaction +
+URL-blocklist filtering."""
 
 import math
 
@@ -238,3 +239,105 @@ def test_budget_mixture_corpus_never_shuffles(spark, sf_dir_small):
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction / blocklist
+# ---------------------------------------------------------------------------
+
+def _pii_docs(spark):
+    rows = [
+        (0, "mail bob@x.com and sue.smith+tag@sub.example.org today"),
+        (1, "call 555-123-4567 or 555.987.6543 now"),
+        (2, "hosts 10.0.0.1 and 999.1.1.1 and 256.1.2.3 here"),
+        (3, "see https://spam0.example/a?b=1 and http://ok.org/c."),
+        (4, "nested http://h.io/10.0.0.1/x page"),
+        (5, "clean text with nothing sensitive at all"),
+        (6, ""),
+        (7, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_pii_counts_known_values(spark):
+    from anomaly_detection_spark.functions.pii import pii_counts
+
+    df = _pii_docs(spark)
+    c = pii_counts(F.col("text"))
+    out = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id", c["n_emails"], c["n_phones"], c["n_ipv4"],
+        c["n_urls"]).collect()}
+    assert out[0]["n_emails"] == 2
+    assert out[1]["n_phones"] == 2
+    # 999.1.1.1 and 256.1.2.3 are NOT valid IPv4s (octet > 255 and the
+    # word boundary blocks a partial match); only 10.0.0.1 counts
+    assert out[2]["n_ipv4"] == 1
+    assert out[3]["n_urls"] == 2
+    # an IPv4 inside a URL path counts under BOTH patterns (documented)
+    assert out[4]["n_urls"] == 1 and out[4]["n_ipv4"] == 1
+    assert all(v == 0 for k, v in out[5].items() if k != "doc_id")
+    assert all(v == 0 for k, v in out[6].items() if k != "doc_id")
+    assert all(v == 0 for k, v in out[7].items() if k != "doc_id")
+
+
+def test_pii_redaction_order_and_idempotence(spark):
+    from anomaly_detection_spark.functions.pii import pii_counts, redact_pii
+
+    df = _pii_docs(spark)
+    red = df.select("doc_id", redact_pii(F.col("text")).alias("text"))
+    out = {r["doc_id"]: r["text"] for r in red.collect()}
+    assert out[0] == "mail <EMAIL> and <EMAIL> today"
+    assert out[1] == "call <PHONE> or <PHONE> now"
+    assert out[2] == "hosts <IPV4> and 999.1.1.1 and 256.1.2.3 here"
+    # URL redacted FIRST, so the nested IP vanishes with its container
+    assert out[4] == "nested <URL> page"
+    assert out[7] == ""  # NULL text redacts to ''
+    # redacted text contains zero residual matches (idempotence)
+    c = pii_counts(F.col("text"))
+    resid = red.select(
+        (c["n_emails"] + c["n_phones"] + c["n_ipv4"] + c["n_urls"]
+         ).alias("n")).agg(F.sum("n")).collect()[0][0]
+    assert resid == 0
+
+
+def test_blocklist_join_equals_expression(spark):
+    from anomaly_detection_spark.functions.pii import (
+        blocked_by_join, blocked_flag_expr,
+    )
+
+    df = _pii_docs(spark)
+    domains = ["spam0.example", "h.io"]
+    bl = spark.createDataFrame([(d,) for d in domains], "domain string")
+    joined = {r["doc_id"]: r["blocked"]
+              for r in blocked_by_join(df, bl).collect()}
+    expr = {r["doc_id"]: r["b"] for r in df.select(
+        "doc_id",
+        blocked_flag_expr(F.col("text"), domains).alias("b")).collect()}
+    assert joined == expr
+    assert joined[3] is True and joined[4] is True
+    assert joined[5] is False and joined[7] is False
+    assert set(joined) == set(range(8))  # total over all docs
+
+
+def test_pii_plan_shapes(spark):
+    from anomaly_detection_spark.functions.pii import (
+        blocked_by_join, pii_counts, redact_pii,
+    )
+
+    df = _pii_docs(spark)
+    c = pii_counts(F.col("text"))
+    proj = df.select("doc_id", c["n_emails"], redact_pii(F.col("text")))
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # report rides the scan
+    assert "BatchEvalPython" not in plan   # zero Python
+    bl = spark.createDataFrame([("spam0.example",)], "domain string")
+    jplan = blocked_by_join(df, bl)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the BLOCKLIST side must broadcast (the corpus-sized side never
+    # shuffles to meet it); the id-spine join-back is a narrow
+    # ids+bool join — SMJ in the static plan, broadcast under AQE when
+    # the flagged set is small — and is exempt from this assertion
+    assert "BroadcastHashJoin" in jplan and "_host" in \
+        jplan[jplan.index("BroadcastHashJoin"):].splitlines()[0]
+    assert "CartesianProduct" not in jplan
+    assert "BroadcastNestedLoop" not in jplan
