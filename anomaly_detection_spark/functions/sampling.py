@@ -117,6 +117,88 @@ def budget_mixture(docs: DataFrame, budgets: dict[str, float], *,
             .filter(hash_unit(F.col(key_col), seed) < F.col("_rate")))
 
 
+def split_label(component: Column, splits: list[tuple[str, float]], *,
+                seed: int = 0) -> Column:
+    """Split name for a component label: cascaded hash-unit thresholds
+    (cumulative fractions accumulated in PYTHON so the Spark side and
+    the SQL twin compare against bit-identical double literals; the
+    hash itself is exact integer arithmetic, so assignment is
+    engine-deterministic — no boundary ulp risk)."""
+    u = hash_unit(component, seed)
+    col, acc = None, 0.0
+    for name, frac in splits[:-1]:
+        acc += float(frac)
+        cond = u < F.lit(acc)
+        col = F.when(cond, name) if col is None else col.when(cond, name)
+    last = splits[-1][0]
+    return col.otherwise(last) if col is not None else F.lit(last)
+
+
+def split_label_sql(component_col: str, splits: list[tuple[str, float]], *,
+                    seed: int = 0) -> str:
+    """DuckDB twin of :func:`split_label` (same Python-accumulated
+    boundary literals, repr round-trips the exact double)."""
+    u = hash_unit_sql(component_col, seed)
+    whens, acc = [], 0.0
+    for name, frac in splits[:-1]:
+        acc += float(frac)
+        whens.append(f"WHEN ({u}) < {acc!r} THEN '{name}'")
+    if not whens:
+        return f"'{splits[-1][0]}'"
+    return f"CASE {' '.join(whens)} ELSE '{splits[-1][0]}' END"
+
+
+def dedup_safe_split(docs: DataFrame, pairs: DataFrame, *,
+                     id_col: str = "doc_id",
+                     splits: list[tuple[str, float]] | None = None,
+                     seed: int = 0, id_a: str = "id_a",
+                     id_b: str = "id_b") -> DataFrame:
+    """Leakage-free train/val/test split: near-duplicate documents MUST
+    share a split, or held-out evaluation is contaminated by training
+    twins (the public dedup-safe holdout recipe — GPT-3 appx C's
+    eval-overlap concern applied to split construction). Achieved by
+    splitting on the near-dup COMPONENT label, not the doc id: pair
+    edges -> connected components (min-label propagation,
+    dedup.resolve_components), singletons keep their own id as the
+    component, and the split is a pure hash of the component — so
+    every member of a clique lands together, deterministically,
+    resumable, oracle-replayable.
+
+    Returns the input rows + (component, split).
+
+    Plan shape at 100 TB: the component frame is O(docs-in-pairs) — a
+    vanishing fraction of the corpus — so the label join back is a
+    narrow broadcast-or-shuffle of (id, component) onto the scan;
+    the corpus text never shuffles; the split column is a codegen'd
+    integer-hash expression.
+    """
+    from anomaly_detection_spark.functions.dedup import resolve_components
+
+    if splits is None:
+        splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    comp = resolve_components(pairs, id_a=id_a, id_b=id_b) \
+        .withColumnRenamed("id", id_col)
+    return (docs.join(comp, id_col, "left")
+            .withColumn("component",
+                        F.coalesce("component", F.col(id_col)))
+            .withColumn("split", split_label(F.col("component"), splits,
+                                             seed=seed)))
+
+
+def split_leakage(labeled: DataFrame, *,
+                  component_col: str = "component",
+                  split_col: str = "split") -> DataFrame:
+    """Violation report for a split assignment: components that span
+    more than one split (MUST be empty for a dedup-safe split — by
+    construction it is when the split is a function of the component;
+    this is the independent check for splits produced elsewhere).
+    One map-side-combined aggregate on narrow (component, split) rows.
+    """
+    return (labeled.groupBy(component_col)
+            .agg(F.countDistinct(split_col).alias("n_splits"))
+            .filter(F.col("n_splits") > 1))
+
+
 def budget_mixture_sql(budgets: dict[str, float], *, table: str = "documents",
                        key_col: str = "doc_id", stratum_col: str = "lang",
                        token_sql: str | None = None, seed: int = 0) -> str:

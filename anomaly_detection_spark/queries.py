@@ -2120,6 +2120,25 @@ REGISTRY.update({
 REGISTRY["filtering_check_events"] = (q_filtering_check_events, SQL_FILTERING)
 
 
+def _chain_corpus(spark, sf_dir) -> DataFrame:
+    """Planted two-step edit chains (doc -> doc+' tail' ->
+    doc+' tail tail') over the first 40 docs — shared input of the
+    dedup-components and dedup-safe-split queries (SQL twin: the `u`
+    CTE in _SQL_CHAIN_CLOSURE)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    chain = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct((F.col("doc_id") + 100_000).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" tail")).alias("text")),
+        F.struct((F.col("doc_id") + 200_000).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" tail tail")).alias("text")),
+    )
+    one = F.array(F.struct(F.col("doc_id"), F.col("text")))
+    return d.select(
+        F.explode(F.when(F.col("doc_id") < 5, chain).otherwise(one)).alias("r")
+    ).select("r.doc_id", "r.text")
+
+
 def q_dedup_components_documents(spark, sf_dir) -> DataFrame:
     """Transitive near-dup resolution: planted two-step edit chains
     (doc -> doc+' tail' -> doc+' tail tail') produce pair edges whose
@@ -2130,25 +2149,14 @@ def q_dedup_components_documents(spark, sf_dir) -> DataFrame:
         ngram_jaccard_pairs, resolve_components,
     )
 
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
-    chain = F.array(
-        F.struct(F.col("doc_id"), F.col("text")),
-        F.struct((F.col("doc_id") + 100_000).alias("doc_id"),
-                 F.concat(F.col("text"), F.lit(" tail")).alias("text")),
-        F.struct((F.col("doc_id") + 200_000).alias("doc_id"),
-                 F.concat(F.col("text"), F.lit(" tail tail")).alias("text")),
-    )
-    one = F.array(F.struct(F.col("doc_id"), F.col("text")))
-    corpus = d.select(
-        F.explode(F.when(F.col("doc_id") < 5, chain).otherwise(one)).alias("r")
-    ).select("r.doc_id", "r.text")
+    corpus = _chain_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_k=8,
                                 jaccard_threshold=0.5)
     comp = resolve_components(pairs)
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
-SQL_DEDUP_COMPONENTS = """
+_SQL_CHAIN_CLOSURE = """
 WITH RECURSIVE u AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 40
   UNION ALL
@@ -2174,9 +2182,14 @@ edges AS (
 reach AS (
   SELECT src AS id, src AS r FROM edges
   UNION
-  SELECT rr.id, e.dst FROM reach rr JOIN edges e ON e.src = rr.r)
-SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
-FROM reach GROUP BY id
+  SELECT rr.id, e.dst FROM reach rr JOIN edges e ON e.src = rr.r),
+comp AS (
+  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+  FROM reach GROUP BY id)
+"""
+
+SQL_DEDUP_COMPONENTS = _SQL_CHAIN_CLOSURE + """
+SELECT doc_id, component FROM comp
 """
 
 
@@ -3221,6 +3234,61 @@ FROM planted
 
 SQL_PII = _sql_pii()
 
+# dedup-safe split fractions: train/val/test — the boundary literals
+# are accumulated in Python on BOTH sides (split_label/_sql), so the
+# engines compare the hash against bit-identical doubles.
+_SPLIT_FRACTIONS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def q_dedup_safe_split_documents(spark, sf_dir) -> DataFrame:
+    """Leakage-free train/val/test split (the dedup-safe holdout
+    recipe): near-dup pair edges from the planted edit chains resolve
+    to components; the split is a portable hash of the COMPONENT, so
+    every clique member lands in one split and held-out eval can't see
+    a training twin. ``leak_free`` is computed (not asserted) on both
+    sides: distinct-splits-per-component == 1.
+
+    Plan shape: the component frame is O(docs-in-pairs); its label
+    join-back and the per-component split count are narrow (id, label)
+    shuffles — the corpus never moves; the split itself is a codegen'd
+    integer-hash expression (sampling.split_label).
+    """
+    from anomaly_detection_spark.functions.dedup import ngram_jaccard_pairs
+    from anomaly_detection_spark.functions.sampling import dedup_safe_split
+
+    corpus = _chain_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_k=8,
+                                jaccard_threshold=0.5)
+    lab = dedup_safe_split(corpus.select("doc_id"), pairs,
+                           splits=_SPLIT_FRACTIONS, seed=11)
+    counts = (lab.groupBy("component")
+              .agg(F.countDistinct("split").alias("_n")))
+    return (lab.join(counts, "component")
+            .select("doc_id", "component", "split",
+                    (F.col("_n") == 1).alias("leak_free")))
+
+
+def _sql_split() -> str:
+    from anomaly_detection_spark.functions.sampling import split_label_sql
+
+    case = split_label_sql("component", _SPLIT_FRACTIONS, seed=11)
+    return _SQL_CHAIN_CLOSURE + f""",
+lab AS (
+  SELECT u.doc_id, COALESCE(comp.component, u.doc_id) AS component
+  FROM u LEFT JOIN comp USING (doc_id)
+),
+spl AS (
+  SELECT doc_id, component, {case} AS split FROM lab
+)
+SELECT doc_id, component, split,
+       (count(DISTINCT split) OVER (PARTITION BY component)) = 1
+         AS leak_free
+FROM spl
+"""
+
+
+SQL_SPLIT = _sql_split()
+
 
 REGISTRY.update({
     "welford_suite_events": (q_welford_suite_events, SQL_WELFORD_SUITE),
@@ -3248,6 +3316,7 @@ REGISTRY.update({
                                    SQL_REPETITION),
     "mixture_sample_documents": (q_mixture_sample_documents, SQL_MIXTURE),
     "pii_redact_documents": (q_pii_redact_documents, SQL_PII),
+    "dedup_safe_split_documents": (q_dedup_safe_split_documents, SQL_SPLIT),
 })
 
 
@@ -3271,7 +3340,7 @@ _ROWS_ONLY_PRIORITY = [
 # checked-in BENCH/gatelogs instead of a driver row), in order.
 _BEYOND_CAP = ["viz_report_events", "decontam_documents",
                "repetition_suite_documents", "mixture_sample_documents",
-               "pii_redact_documents"]
+               "pii_redact_documents", "dedup_safe_split_documents"]
 
 _DRIVER_CAP = 50
 

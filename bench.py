@@ -74,7 +74,8 @@ HEADLINE = [
     "repetition_suite_documents",      # one-pass mapInPandas Gopher metrics
     "mixture_sample_documents",        # broadcast-rate deterministic sample
     "pii_redact_documents",            # codegen regex scrub + blocklist join
-    #   ^ round 5b: totals vs earlier rounds comparable minus these four
+    "dedup_safe_split_documents",      # component closure + hash split
+    #   ^ round 5b: totals vs earlier rounds comparable minus these five
 ]
 
 

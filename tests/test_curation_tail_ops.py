@@ -341,3 +341,62 @@ def test_pii_plan_shapes(spark):
         jplan[jplan.index("BroadcastHashJoin"):].splitlines()[0]
     assert "CartesianProduct" not in jplan
     assert "BroadcastNestedLoop" not in jplan
+
+
+# ---------------------------------------------------------------------------
+# dedup-safe split
+# ---------------------------------------------------------------------------
+
+def test_dedup_safe_split_components_share_split(spark):
+    from anomaly_detection_spark.functions.sampling import (
+        dedup_safe_split, split_leakage,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id bigint")
+    # two cliques (0-1-2 chained, 10-11) + singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a bigint, id_b bigint")
+    out = dedup_safe_split(docs, pairs, seed=5)
+    rows = {r["doc_id"]: (r["component"], r["split"])
+            for r in out.collect()}
+    assert len(rows) == 200  # total over the corpus
+    # clique members share component AND split
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[10] == rows[11]
+    assert rows[0][0] == 0 and rows[10][0] == 10  # min-id component
+    # singleton components are the doc's own id
+    assert rows[42][0] == 42
+    # the independent checker sees zero leakage
+    assert split_leakage(out).count() == 0
+    # all three splits materialize and fractions are roughly honored
+    from collections import Counter
+    c = Counter(s for _, s in rows.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > 100
+
+
+def test_dedup_safe_split_deterministic_and_seeded(spark):
+    from anomaly_detection_spark.functions.sampling import dedup_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(300)],
+                                 "doc_id bigint")
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    a = {r["doc_id"]: r["split"]
+         for r in dedup_safe_split(docs, pairs, seed=5).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in dedup_safe_split(docs, pairs, seed=5).collect()}
+    c = {r["doc_id"]: r["split"]
+         for r in dedup_safe_split(docs, pairs, seed=6).collect()}
+    assert a == b
+    assert a != c
+
+
+def test_split_leakage_catches_violations(spark):
+    from anomaly_detection_spark.functions.sampling import split_leakage
+
+    bad = spark.createDataFrame(
+        [(0, 7, "train"), (1, 7, "test"), (2, 9, "val"), (3, 9, "val")],
+        "doc_id bigint, component bigint, split string")
+    v = split_leakage(bad).collect()
+    assert len(v) == 1 and v[0]["component"] == 7 and v[0]["n_splits"] == 2
