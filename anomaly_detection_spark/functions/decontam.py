@@ -57,9 +57,13 @@ def word_ngrams(text: Column, n: int, *, lower: bool = True,
 def word_ngrams_sql(col: str, n: int, *, lower: bool = True,
                     distinct: bool = True) -> str:
     """DuckDB twin of :func:`word_ngrams` (list slicing is inclusive of
-    the end index, hence ``i : i + n - 1``)."""
+    the end index, hence ``i : i + n - 1``). The split class is the
+    explicit Java ``\\s`` set — RE2's ``\\s`` lacks vertical tab, so a
+    bare ``\\s+`` here would tokenize VT-bearing docs differently from
+    the Spark side."""
     t = f"lower({col})" if lower else col
-    words = f"list_filter(string_split_regex(trim({t}), '\\s+'), w -> w <> '')"
+    words = (f"list_filter(string_split_regex(trim({t}), "
+             f"'[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '')")
     grams = (f"list_transform(range(1, len({words}) - {n - 1} + 1), "
              f"i -> array_to_string(({words})[i : i + {n - 1}], ' '))")
     if distinct:
@@ -93,6 +97,9 @@ def word_ngram_pairs_vec(df: DataFrame, *, id_col: str = "doc_id",
             words = texts.str.split(r"[ \t\n\x0b\f\r]+", regex=True).explode()
             words = words[words.notna() & (words != "")]
             if not len(words):
+                yield pd.DataFrame({id_col: pdf[id_col][:0], "gram": []})
+                continue
+            if len(words) < n:  # a negative slice stop would misalign
                 yield pd.DataFrame({id_col: pdf[id_col][:0], "gram": []})
                 continue
             wdi = words.index.to_numpy()
@@ -163,7 +170,7 @@ def contamination_report(docs: DataFrame, bench: DataFrame, *,
 def contamination_report_fused(docs: DataFrame, bench: DataFrame, *,
                                id_col: str = "doc_id",
                                text_col: str = "text",
-                               n: int = 8) -> DataFrame:
+                               n: int = 8, total: bool = True) -> DataFrame:
     """One-pass production form: exact (string-key) AND hashed
     (xxhash64-key) contamination counts from a SINGLE corpus gram
     explode and a SINGLE broadcast join.
@@ -178,6 +185,11 @@ def contamination_report_fused(docs: DataFrame, bench: DataFrame, *,
     string-matches iff it hash-matches some bench gram, plus possible
     extra hash-only matches under collision (exact ⊆ hashed, so
     agreement == no collision affected the verdict).
+
+    ``total=False`` skips the all-ids spine (a second corpus scan +
+    distinct whose only purpose is emitting 0-count rows) and returns
+    only docs with at least one hash match — the right call for
+    keep/drop consumers that filter to ``contaminated`` anyway.
     """
     grams = word_ngram_pairs_vec(docs, id_col=id_col, text_col=text_col,
                                  n=n)
@@ -193,6 +205,12 @@ def contamination_report_fused(docs: DataFrame, bench: DataFrame, *,
         F.countDistinct(F.when(F.col("gram") == F.col("_bgram"),
                                F.col("gram"))).alias("_n_exact"),
         F.countDistinct("gram").alias("_n_hash")))
+    if not total:
+        return hits.select(
+            id_col,
+            F.col("_n_exact").alias("n_shared_grams"),
+            (F.col("_n_exact") > 0).alias("contaminated"),
+            (F.col("_n_exact") == F.col("_n_hash")).alias("hash_agrees"))
     all_ids = docs.select(id_col).distinct()
     return (all_ids.join(hits, id_col, "left")
             .select(

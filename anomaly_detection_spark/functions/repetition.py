@@ -53,14 +53,21 @@ def repetition_features(df: DataFrame, *, id_col: str = "doc_id",
     dup_line_frac, dup_line_char_frac, top_bigram, top_bigram_char_frac).
     Docs with no non-empty lines report 0 lines and 0.0 fractions; docs
     with fewer than two words report NULL top_bigram and 0.0 coverage.
+
+    ``line_sep`` is a LITERAL separator in all three forms (the vec
+    kernel and the SQL twin split literally; here it is regex-escaped
+    before reaching F.split so a '.'/'|' separator cannot explode into
+    a match-anything pattern).
     """
+    import re
+
     from anomaly_detection_spark.functions.decontam import word_ngrams
 
     base = df.select(id_col, text_col)
 
     lines = base.select(
         id_col,
-        F.explode(F.filter(F.split(F.col(text_col), line_sep),
+        F.explode(F.filter(F.split(F.col(text_col), re.escape(line_sep)),
                            lambda x: x != "")).alias("line"))
     line_counts = (lines.groupBy(id_col, "line")
                    .agg(F.count("*").alias("cnt")))
@@ -218,7 +225,10 @@ def repetition_features_vec(df: DataFrame, *, id_col: str = "doc_id",
                 totc[dpc.index.to_numpy()] = dpc["tot"].to_numpy()
 
             # ---- top word-bigram coverage ----
-            words = texts.str.lower().str.split(r"\s+", regex=True).explode()
+            # explicit Java \s class: Python's \s is Unicode-aware and
+            # would split NBSP/U+2000-class spaces the JVM form keeps
+            words = (texts.str.lower()
+                     .str.split(r"[ \t\n\x0b\f\r]+", regex=True).explode())
             words = words[words.notna() & (words != "")]
             top_gram = np.full(nd, None, dtype=object)
             top_frac = np.zeros(nd, dtype=np.float64)

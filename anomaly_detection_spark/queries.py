@@ -2995,7 +2995,9 @@ def q_decontam_documents(spark, sf_dir) -> DataFrame:
     d = _docs(spark, sf_dir)
     bench = (d.filter((F.col("doc_id") % 97) == 3)
              .select(F.substring("text", 1, 200).alias("text")))
-    return (contamination_report_fused(d, bench, n=8)
+    # total=False: skip the all-ids spine — this query keeps only
+    # contaminated rows, so 0-count rows would be built then dropped
+    return (contamination_report_fused(d, bench, n=8, total=False)
             .filter(F.col("contaminated")))  # violation rows only
 
 
@@ -3140,9 +3142,14 @@ def q_pii_redact_documents(spark, sf_dir) -> DataFrame:
     the scan (zero Python, zero shuffle); the blocklist check explodes
     distinct (doc, host) pairs in the scan and meets the BROADCAST
     blocklist — only matched pairs survive; the flags-to-report join is
-    doc-count-sized (AQE broadcasts). The two scans over the planted
-    projection are scan+project only — the regex work runs once, on the
-    report side.
+    narrow ids+bool (AQE broadcasts when small). The join-path and
+    expression-path sides DELIBERATELY each run their own scan+project
+    (incl. their own url_hosts regex) — two independent computations of
+    the same flag is the point of the invariant, exactly like decontam's
+    exact-vs-hash pair; recompute beats persisting a corpus-sized
+    planted frame at scale (CLAUDE.md derived-self-join rule: the
+    upstream here is scan + concat, and the expensive count/redaction
+    regexes run on the report side only).
     """
     from anomaly_detection_spark.functions.pii import (
         blocked_by_join, blocked_flag_expr, pii_counts, redact_pii,

@@ -72,7 +72,8 @@ def test_contamination_broadcasts_the_benchmark(spark):
     bench = docs.filter(F.col("doc_id") == 0).select("text")
     plan = contamination_report(docs, bench, n=8)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -400,3 +401,55 @@ def test_split_leakage_catches_violations(spark):
         "doc_id bigint, component bigint, split string")
     v = split_leakage(bad).collect()
     assert len(v) == 1 and v[0]["component"] == 7 and v[0]["n_splits"] == 2
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions (round-5b second review)
+# ---------------------------------------------------------------------------
+
+def test_word_ngram_pairs_vec_short_batch_no_crash(spark):
+    """A batch whose total word count is strictly between (n-1)/2 and
+    n-1 used to hit a numpy broadcast ValueError (negative slice stop
+    vs empty tail slice). One 5-word doc in its own partition, n=8."""
+    df = spark.createDataFrame([(0, "a b c d e")],
+                               "doc_id bigint, text string").repartition(1)
+    assert word_ngram_pairs_vec(df, n=8).collect() == []
+    # and a batch mixing one short and one long doc still yields the
+    # long doc's grams
+    df2 = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9")],
+        "doc_id bigint, text string").repartition(1)
+    out = {(r["doc_id"], r["gram"])
+           for r in word_ngram_pairs_vec(df2, n=8).collect()}
+    assert out == {(1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+                   (1, "w2 w3 w4 w5 w6 w7 w8 w9")}
+
+
+def test_vec_kernels_keep_unicode_whitespace(spark):
+    """Python \\s is Unicode-aware; the kernels must use the explicit
+    Java \\s class so NBSP-joined tokens stay single words, matching
+    the JVM forms and the RE2 oracle."""
+    nb = "a b"  # NBSP: ONE word under Java/RE2 \s, two under Python \s
+    df = spark.createDataFrame(
+        [(0, f"{nb} x y z w1 w2 w3 w4")], "doc_id bigint, text string")
+    hof = {(r["doc_id"], r["gram"]) for r in
+           df.select("doc_id", F.explode(word_ngrams(F.col("text"), 8))
+                     .alias("gram")).collect()}
+    vec = {(r["doc_id"], r["gram"]) for r in
+           word_ngram_pairs_vec(df, n=8).collect()}
+    assert vec == hof and any(nb in g for _, g in vec)
+    rep_sem = repetition_features(df).collect()[0]
+    rep_vec = repetition_features_vec(df).collect()[0]
+    assert rep_sem["top_bigram"] == rep_vec["top_bigram"]
+
+
+def test_repetition_literal_line_sep(spark):
+    """line_sep is literal in all forms — a regex-special separator
+    like '|' must not explode into a match-anything pattern."""
+    df = spark.createDataFrame(
+        [(0, "p q|r s|p q")], "doc_id bigint, text string")
+    for fn in (repetition_features, repetition_features_vec):
+        r = fn(df, line_sep="|").collect()[0]
+        assert (r["n_lines"], r["n_distinct_lines"]) == (3, 2), fn.__name__
+        # (n_lines - n_distinct) / n_lines = (3 - 2) / 3
+        assert r["dup_line_frac"] == pytest.approx(1 / 3)
