@@ -453,3 +453,54 @@ def test_repetition_literal_line_sep(spark):
         assert (r["n_lines"], r["n_distinct_lines"]) == (3, 2), fn.__name__
         # (n_lines - n_distinct) / n_lines = (3 - 2) / 3
         assert r["dup_line_frac"] == pytest.approx(1 / 3)
+
+
+def test_curation_tail_streams_stateless(spark, tmp_path):
+    """The scrub/feature path of the curation tail is stateless, so it
+    must run unchanged on a Structured Streaming source and produce
+    element-exactly the batch result per micro-batch: PII counts +
+    redaction (codegen exprs), repetition_features_vec (mapInPandas),
+    and the deterministic hash sample (pure filter)."""
+    from anomaly_detection_spark.functions.pii import pii_counts, redact_pii
+    from anomaly_detection_spark.functions.sampling import hash_unit
+    from anomaly_detection_spark.streaming.stream import (
+        run_to_memory, stream_source,
+    )
+
+    schema = "doc_id bigint, text string"
+    rows = [
+        (0, "mail bob@x.com now\nmail bob@x.com now\nsee 10.0.0.1"),
+        (1, "call 555-123-4567 or visit https://spam0.example/x"),
+        (2, "plain text line\nanother line"),
+        (3, ""),
+    ]
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    def pipeline(df):
+        c = pii_counts(F.col("text"))
+        scrub = df.select(
+            "doc_id", c["n_emails"], c["n_ipv4"], c["n_phones"],
+            c["n_urls"], redact_pii(F.col("text")).alias("redacted"),
+            (hash_unit(F.col("doc_id"), seed=3) < 0.5).alias("sampled"))
+        rep = repetition_features_vec(df).select(
+            "doc_id", "n_lines", "dup_line_frac", "top_bigram")
+        return scrub.join(rep, "doc_id")
+
+    stream = stream_source(spark, path=src, schema=schema)
+    assert stream.isStreaming
+    q = run_to_memory(pipeline(stream), "tail_stream", mode="append")
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r for r in
+               spark.table("tail_stream").collect()}
+    finally:
+        q.stop()
+    want = {r["doc_id"]: r for r in
+            pipeline(spark.read.parquet(src)).collect()}
+    assert set(got) == set(want) == {0, 1, 2, 3}
+    for k in want:
+        assert got[k] == want[k], k
+    assert got[0]["redacted"].count("<EMAIL>") == 2
+    assert got[0]["n_lines"] == 3 and got[0]["dup_line_frac"] > 0
