@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from anomaly_detection_spark.functions.text import JAVA_WS_RE
+
 
 def word_ngrams(text: Column, n: int, *, lower: bool = True,
                 distinct: bool = True) -> Column:
@@ -42,7 +44,7 @@ def word_ngrams(text: Column, n: int, *, lower: bool = True,
     cannot be contaminated at this n). Pure codegen HOFs — no Python,
     no shuffle."""
     t = F.lower(text) if lower else text
-    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    words = F.filter(F.split(F.trim(t), JAVA_WS_RE), lambda w: w != "")
     k = F.size(words) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
@@ -63,7 +65,7 @@ def word_ngrams_sql(col: str, n: int, *, lower: bool = True,
     the Spark side."""
     t = f"lower({col})" if lower else col
     words = (f"list_filter(string_split_regex(trim({t}), "
-             f"'[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '')")
+             f"'{JAVA_WS_RE}'), w -> w <> '')")
     grams = (f"list_transform(range(1, len({words}) - {n - 1} + 1), "
              f"i -> array_to_string(({words})[i : i + {n - 1}], ' '))")
     if distinct:
@@ -94,7 +96,7 @@ def word_ngram_pairs_vec(df: DataFrame, *, id_col: str = "doc_id",
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
             texts = pdf[text_col].fillna("").str.lower()
-            words = texts.str.split(r"[ \t\n\x0b\f\r]+", regex=True).explode()
+            words = texts.str.split(JAVA_WS_RE, regex=True).explode()
             words = words[words.notna() & (words != "")]
             if not len(words):
                 yield pd.DataFrame({id_col: pdf[id_col][:0], "gram": []})
@@ -145,9 +147,12 @@ def contamination_report(docs: DataFrame, bench: DataFrame, *,
     8-byte broadcast keys). ``hashed=False`` joins on the gram string —
     the exact form the DuckDB oracle can replay.
     """
+    # plain explode: gram-less docs are totalized by the all_ids spine
+    # below; explode_outer's NULL-gram rows would only flow dead weight
+    # through the hash + semi-join probe
     grams = docs.select(
         F.col(id_col),
-        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
     )
     bset = benchmark_grams(bench, text_col=text_col, n=n)
     if hashed:

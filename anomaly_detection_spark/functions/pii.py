@@ -35,7 +35,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_NS = r" \t\n\x0b\f\r"  # the Java \s set, spelled out for RE2 parity
+from anomaly_detection_spark.functions.text import JAVA_WS_CHARS
+
+_NS = JAVA_WS_CHARS  # the Java \s set, spelled out for RE2 parity
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"

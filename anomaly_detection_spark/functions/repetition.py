@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from anomaly_detection_spark.functions.text import JAVA_WS_RE
+
 _OUT_SCHEMA = ("n_lines int, n_distinct_lines int, dup_line_frac double, "
                "dup_line_char_frac double, top_bigram string, "
                "top_bigram_char_frac double")
@@ -198,7 +200,7 @@ def repetition_features_vec(df: DataFrame, *, id_col: str = "doc_id",
             nd = len(pdf)
 
             # ---- line metrics: explode -> duplicate counting ----
-            lines = texts.str.split(line_sep).explode()
+            lines = texts.str.split(line_sep, regex=False).explode()
             lines = lines[lines.notna() & (lines != "")]
             n_lines = np.zeros(nd, dtype=np.int32)
             n_dist = np.zeros(nd, dtype=np.int32)
@@ -228,7 +230,7 @@ def repetition_features_vec(df: DataFrame, *, id_col: str = "doc_id",
             # explicit Java \s class: Python's \s is Unicode-aware and
             # would split NBSP/U+2000-class spaces the JVM form keeps
             words = (texts.str.lower()
-                     .str.split(r"[ \t\n\x0b\f\r]+", regex=True).explode())
+                     .str.split(JAVA_WS_RE, regex=True).explode())
             words = words[words.notna() & (words != "")]
             top_gram = np.full(nd, None, dtype=object)
             top_frac = np.zeros(nd, dtype=np.float64)

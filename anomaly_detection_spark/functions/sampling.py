@@ -62,12 +62,15 @@ def hash_unit(key: Column, seed: int = 0) -> Column:
 
 
 def hash_unit_sql(key: str, seed: int = 0) -> str:
-    """DuckDB/ANSI twin of :func:`hash_unit` (pmod == mod for the
-    non-negative operands produced by the inner mod of a non-negative
-    key; keys here are ids >= 0)."""
+    """DuckDB/ANSI twin of :func:`hash_unit`. SQL ``%`` keeps the sign
+    of the dividend while Spark's ``pmod`` is always non-negative, so
+    both mods are wrapped ``((x % m) + m) % m`` — negative keys hash
+    identically in both engines (no non-negativity assumption at the
+    deterministic_sample / split entry points)."""
     s = (int(seed) * KNUTH32) % _M32
-    return (f"((xor({key} % {_M32}, {s}) * {KNUTH32}) % {_M32})"
-            f" / {float(_M32)}")
+    k = f"((({key} % {_M32}) + {_M32}) % {_M32})"
+    h = f"(((xor({k}, {s}) * {KNUTH32}) % {_M32}) + {_M32}) % {_M32}"
+    return f"({h}) / {float(_M32)}"
 
 
 def deterministic_sample(df: DataFrame, key_col: str, rate: Column | float,

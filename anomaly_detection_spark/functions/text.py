@@ -27,25 +27,40 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 # ---------------------------------------------------------------------------
+# whitespace: THE load-bearing cross-engine constant
+# ---------------------------------------------------------------------------
+# Java's default \s is exactly [ \t\n\x0B\f\r]; Python's re \s is
+# Unicode-aware (adds NBSP/U+2000-class spaces) and RE2's \s lacks
+# vertical tab — so every pandas kernel and every DuckDB oracle that
+# must tokenize identically to a JVM expression spells the class out
+# from this ONE definition (CLAUDE.md regex-parity rule; PLANS.md
+# round-5b review lessons). Raw strings: the backslash sequences reach
+# each regex engine verbatim.
+JAVA_WS_CHARS = r" \t\n\x0b\f\r"
+JAVA_WS_RE = rf"[{JAVA_WS_CHARS}]+"
+
+
+# ---------------------------------------------------------------------------
 # token counting
 # ---------------------------------------------------------------------------
 
 def ws_token_count(text: Column) -> Column:
     """Whitespace tokens: size of split on runs of whitespace, empty string
     -> 0 (split('') yields one empty token; filter it)."""
-    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != ""))
+    return F.size(F.filter(F.split(F.trim(text), JAVA_WS_RE),
+                           lambda t: t != ""))
 
 
 def ws_token_count_sql(col: str) -> str:
-    return (f"len(list_filter(string_split_regex(trim({col}), '\\s+'), "
-            f"t -> t <> ''))")
+    return (f"len(list_filter(string_split_regex(trim({col}), "
+            f"'{JAVA_WS_RE}'), t -> t <> ''))")
 
 
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish upper bound: word tokens plus one extra token per 6 chars of
     long words (a public rule-of-thumb approximation of subword splits;
     ~= GPT-style 'one token per ~4 chars of English' for code-mixed text)."""
-    words = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    words = F.filter(F.split(F.trim(text), JAVA_WS_RE), lambda t: t != "")
     extra = F.aggregate(
         words, F.lit(0),
         lambda acc, w: acc + F.floor(F.length(w) / 6).cast("int"),
@@ -56,8 +71,8 @@ def bpe_ish_token_count(text: Column) -> Column:
 def bpe_ish_token_count_sql(col: str) -> str:
     return (
         f"{ws_token_count_sql(col)} + list_sum(list_transform("
-        f"list_filter(string_split_regex(trim({col}), '\\s+'), t -> t <> ''),"
-        f" w -> CAST(floor(len(w) / 6) AS INT)))"
+        f"list_filter(string_split_regex(trim({col}), '{JAVA_WS_RE}'), "
+        f"t -> t <> ''), w -> CAST(floor(len(w) / 6) AS INT)))"
     )
 
 

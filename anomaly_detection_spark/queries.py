@@ -3079,9 +3079,13 @@ FROM ({inner})
 SQL_REPETITION = _sql_repetition()
 
 # Token budgets for the mixture query: en oversubscribed (rate clamps to
-# 1.0 — the keep-everything branch), others fractional. Budgets scale
-# with nothing — rates adapt to the sf via the measured totals.
-_MIXTURE_BUDGETS = {"en": 1_000_000.0, "de": 9_000.0, "fr": 4_000.0,
+# 1.0 — the keep-everything branch), others fractional. The clamp
+# invariant needs headroom over the LARGEST gated corpus (CLAUDE.md:
+# preconditions must not bake in driver-sf constants without margin):
+# measured en totals are 112,006 at sf0.1 and 1,083,697 at sf1, so the
+# 10M budget holds the clamp with ~9x headroom through sf1 (and ~3x at
+# an sf3 no gate currently runs).
+_MIXTURE_BUDGETS = {"en": 10_000_000.0, "de": 9_000.0, "fr": 4_000.0,
                     "es": 2_500.0}
 
 

@@ -504,3 +504,32 @@ def test_curation_tail_streams_stateless(spark, tmp_path):
         assert got[k] == want[k], k
     assert got[0]["redacted"].count("<EMAIL>") == 2
     assert got[0]["n_lines"] == 3 and got[0]["dup_line_frac"] > 0
+
+
+def test_repetition_multichar_literal_sep(spark):
+    """Multi-char separators with regex metachars must split literally
+    in BOTH forms (pandas str.split would regex-infer '||' without
+    regex=False — second-review finding)."""
+    df = spark.createDataFrame(
+        [(0, "a||b||a")], "doc_id bigint, text string")
+    for fn in (repetition_features, repetition_features_vec):
+        r = fn(df, line_sep="||").collect()[0]
+        assert (r["n_lines"], r["n_distinct_lines"]) == (3, 2), fn.__name__
+
+
+def test_hash_unit_sql_matches_spark_for_negative_keys(spark):
+    """The SQL twin's sign-wrapped mod must equal Spark's pmod on
+    negative keys."""
+    import duckdb
+
+    from anomaly_detection_spark.functions.sampling import hash_unit_sql
+
+    keys = [-1, -5, -4294967296, -4294967297, 0, 1, 17, 2**40]
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    sp = {r["k"]: r["u"] for r in
+          df.select("k", hash_unit(F.col("k"), seed=9).alias("u")).collect()}
+    con = duckdb.connect()
+    for k in keys:
+        u = con.execute(f"SELECT {hash_unit_sql(str(k), seed=9)}").fetchone()[0]
+        assert sp[k] == u, k
+        assert 0.0 <= u < 1.0
