@@ -3301,6 +3301,49 @@ FROM spl
 SQL_SPLIT = _sql_split()
 
 
+def q_vocab_topk_documents(spark, sf_dir) -> DataFrame:
+    """Corpus vocabulary report (the tokenizer-training prerequisite):
+    top-30 terms by total count with document frequency, smoothed IDF,
+    and the stop-word-candidate flag (doc_freq > 50% of docs).
+
+    Plan shape: one explode inside the scan; Catalyst's count-distinct
+    rewrite dedups (word, doc) in the map-side partial aggregate so the
+    exchange carries distinct pairs + count partials, never raw
+    occurrences; the top-30 is TakeOrderedAndProject (per-partition
+    heap top-k, no full sort). Ties break on the term ascending, so
+    membership at the k boundary is engine-deterministic.
+    """
+    from anomaly_detection_spark.functions.vocab import vocab_topk
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    return (vocab_topk(d, 30, n_docs=n)
+            .select(
+                "word", "count", "doc_freq",
+                _R6(F.col("idf")).alias("idf"),
+                (F.col("doc_freq") > F.lit(0.5) * F.lit(float(n)))
+                .alias("stopword_cand")))
+
+
+def _sql_vocab() -> str:
+    from anomaly_detection_spark.functions.vocab import word_stats_sql
+
+    stats = word_stats_sql(docs_sql="SELECT doc_id, text FROM documents")
+    return f"""
+WITH stats AS ({stats}),
+n AS (SELECT count(*) AS nd FROM documents)
+SELECT word, count, doc_freq,
+       round(ln((1.0 + nd) / (1.0 + doc_freq)) + 1.0, 6) AS idf,
+       doc_freq > 0.5 * nd AS stopword_cand
+FROM stats, n
+ORDER BY count DESC, word ASC
+LIMIT 30
+"""
+
+
+SQL_VOCAB = _sql_vocab()
+
+
 REGISTRY.update({
     "welford_suite_events": (q_welford_suite_events, SQL_WELFORD_SUITE),
     "ema_suite_events": (q_ema_suite_events, SQL_EMA_SUITE),
@@ -3328,6 +3371,7 @@ REGISTRY.update({
     "mixture_sample_documents": (q_mixture_sample_documents, SQL_MIXTURE),
     "pii_redact_documents": (q_pii_redact_documents, SQL_PII),
     "dedup_safe_split_documents": (q_dedup_safe_split_documents, SQL_SPLIT),
+    "vocab_topk_documents": (q_vocab_topk_documents, SQL_VOCAB),
 })
 
 
@@ -3351,7 +3395,8 @@ _ROWS_ONLY_PRIORITY = [
 # checked-in BENCH/gatelogs instead of a driver row), in order.
 _BEYOND_CAP = ["viz_report_events", "decontam_documents",
                "repetition_suite_documents", "mixture_sample_documents",
-               "pii_redact_documents", "dedup_safe_split_documents"]
+               "pii_redact_documents", "dedup_safe_split_documents",
+               "vocab_topk_documents"]
 
 _DRIVER_CAP = 50
 

@@ -75,7 +75,8 @@ HEADLINE = [
     "mixture_sample_documents",        # broadcast-rate deterministic sample
     "pii_redact_documents",            # codegen regex scrub + blocklist join
     "dedup_safe_split_documents",      # component closure + hash split
-    #   ^ round 5b: totals vs earlier rounds comparable minus these five
+    "vocab_topk_documents",            # word stats + heap top-k + idf
+    #   ^ round 5b: totals vs earlier rounds comparable minus these six
 ]
 
 

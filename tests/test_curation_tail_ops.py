@@ -533,3 +533,56 @@ def test_hash_unit_sql_matches_spark_for_negative_keys(spark):
         u = con.execute(f"SELECT {hash_unit_sql(str(k), seed=9)}").fetchone()[0]
         assert sp[k] == u, k
         assert 0.0 <= u < 1.0
+
+
+# ---------------------------------------------------------------------------
+# vocabulary statistics
+# ---------------------------------------------------------------------------
+
+def test_word_stats_known_values(spark):
+    from anomaly_detection_spark.functions.vocab import word_stats
+
+    df = spark.createDataFrame(
+        [(0, "aa bb aa"), (1, "AA cc"), (2, ""), (3, None)],
+        "doc_id bigint, text string")
+    out = {r["word"]: (r["count"], r["doc_freq"])
+           for r in word_stats(df).collect()}
+    assert out == {"aa": (3, 2), "bb": (1, 1), "cc": (1, 1)}  # lowered
+
+
+def test_vocab_topk_tiebreak_and_idf(spark):
+    import math
+
+    from anomaly_detection_spark.functions.vocab import vocab_topk
+
+    df = spark.createDataFrame(
+        [(0, "z y x"), (1, "z y w"), (2, "z v")],
+        "doc_id bigint, text string")
+    rows = vocab_topk(df, 3, n_docs=3).collect()
+    # z(3) first; y(2) next; then the count-1 tie broken on word asc: v
+    assert [r["word"] for r in rows] == ["z", "y", "v"]
+    z = rows[0]
+    assert z["count"] == 3 and z["doc_freq"] == 3
+    assert z["idf"] == pytest.approx(math.log(4 / 4) + 1)
+    assert rows[2]["idf"] == pytest.approx(math.log(4 / 2) + 1)
+
+
+def test_stopword_candidates_threshold(spark):
+    from anomaly_detection_spark.functions.vocab import stopword_candidates
+
+    df = spark.createDataFrame(
+        [(0, "the cat"), (1, "the dog"), (2, "the fox"), (3, "owl")],
+        "doc_id bigint, text string")
+    cands = {r["word"] for r in
+             stopword_candidates(df, max_doc_frac=0.5).collect()}
+    assert cands == {"the"}  # 3/4 docs > 0.5; everything else 1/4
+
+
+def test_vocab_plan_shape(spark):
+    from anomaly_detection_spark.functions.vocab import vocab_topk
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+    plan = vocab_topk(df, 5, n_docs=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # heap top-k, no full sort
+    assert "BatchEvalPython" not in plan    # zero Python
