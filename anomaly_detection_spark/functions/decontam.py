@@ -23,9 +23,9 @@ query runs both and asserts they agree, the hll_accuracy pattern for
 oracle-checking an approximation (the oracle replays the exact form in
 ANSI SQL — DuckDB has no xxhash64).
 
-Normalization: lowercase + split on whitespace runs (the same portable
-split every text.py token expression uses) — identical in Spark and
-DuckDB.
+Normalization: ASCII-only case folding (text.ascii_lower — full
+Unicode lower() is engine-dependent, see text.py) + split on the
+shared Java whitespace class — identical in Spark, pandas, and DuckDB.
 """
 
 from __future__ import annotations
@@ -33,7 +33,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from anomaly_detection_spark.functions.text import JAVA_WS_RE
+from anomaly_detection_spark.functions.text import (
+    ASCII_LOWER_TABLE, JAVA_WS_RE, ascii_lower, ascii_lower_sql,
+)
 
 
 def word_ngrams(text: Column, n: int, *, lower: bool = True,
@@ -43,7 +45,7 @@ def word_ngrams(text: Column, n: int, *, lower: bool = True,
     Docs with fewer than ``n`` words yield an empty array (a short doc
     cannot be contaminated at this n). Pure codegen HOFs — no Python,
     no shuffle."""
-    t = F.lower(text) if lower else text
+    t = ascii_lower(text) if lower else text
     words = F.filter(F.split(F.trim(t), JAVA_WS_RE), lambda w: w != "")
     k = F.size(words) - (n - 1)
     grams = F.transform(
@@ -63,7 +65,7 @@ def word_ngrams_sql(col: str, n: int, *, lower: bool = True,
     explicit Java ``\\s`` set — RE2's ``\\s`` lacks vertical tab, so a
     bare ``\\s+`` here would tokenize VT-bearing docs differently from
     the Spark side."""
-    t = f"lower({col})" if lower else col
+    t = ascii_lower_sql(col) if lower else col
     words = (f"list_filter(string_split_regex(trim({t}), "
              f"'{JAVA_WS_RE}'), w -> w <> '')")
     grams = (f"list_transform(range(1, len({words}) - {n - 1} + 1), "
@@ -95,7 +97,8 @@ def word_ngram_pairs_vec(df: DataFrame, *, id_col: str = "doc_id",
     def kernel(batches):
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
-            texts = pdf[text_col].fillna("").str.lower()
+            texts = pdf[text_col].fillna("").str.translate(
+                ASCII_LOWER_TABLE)
             words = texts.str.split(JAVA_WS_RE, regex=True).explode()
             words = words[words.notna() & (words != "")]
             if not len(words):

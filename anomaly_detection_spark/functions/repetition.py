@@ -39,7 +39,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from anomaly_detection_spark.functions.text import JAVA_WS_RE
+from anomaly_detection_spark.functions.text import (
+    ASCII_LOWER_TABLE, JAVA_WS_RE,
+)
 
 _OUT_SCHEMA = ("n_lines int, n_distinct_lines int, dup_line_frac double, "
                "dup_line_char_frac double, top_bigram string, "
@@ -229,7 +231,7 @@ def repetition_features_vec(df: DataFrame, *, id_col: str = "doc_id",
             # ---- top word-bigram coverage ----
             # explicit Java \s class: Python's \s is Unicode-aware and
             # would split NBSP/U+2000-class spaces the JVM form keeps
-            words = (texts.str.lower()
+            words = (texts.str.translate(ASCII_LOWER_TABLE)
                      .str.split(JAVA_WS_RE, regex=True).explode())
             words = words[words.notna() & (words != "")]
             top_gram = np.full(nd, None, dtype=object)

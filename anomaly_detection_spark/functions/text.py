@@ -39,6 +39,25 @@ LANG_MARKERS: dict[str, list[str]] = {
 JAVA_WS_CHARS = r" \t\n\x0b\f\r"
 JAVA_WS_RE = rf"[{JAVA_WS_CHARS}]+"
 
+# ASCII-only case folding for columns whose FOLDED VALUE becomes an
+# aggregation/join key compared cross-engine: full Unicode lower() is
+# engine-dependent (measured: Spark lower('İ') -> 'i̇' (i+U+0307) and
+# lower('ΣΣ') -> 'σς' final-sigma, DuckDB -> 'i'/'σσ'), so any oracle
+# whose word/gram keys pass through lower() diverges on such input.
+# Per-codepoint translate over the ASCII range is bit-identical in
+# Spark, DuckDB, and Python; non-ASCII case is treated as content.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+ASCII_LOWER_TABLE = str.maketrans(_ASCII_UPPER, _ASCII_LOWER)
+
+
+def ascii_lower(text: Column) -> Column:
+    return F.translate(text, _ASCII_UPPER, _ASCII_LOWER)
+
+
+def ascii_lower_sql(col: str) -> str:
+    return f"translate({col}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
 
 # ---------------------------------------------------------------------------
 # token counting

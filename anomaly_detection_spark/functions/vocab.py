@@ -6,20 +6,21 @@ style quality features over a pretraining corpus.
 Scale shape (the part that must survive 100 TB):
 
 * ONE explode of the corpus into (doc, word) inside the scan; the
-  per-word aggregate is a map-side-combined ``groupBy`` whose shuffle
-  carries one row per distinct word per task — the corpus text itself
-  never moves. Document frequency needs distinct (doc, word) pairs,
-  which the kernel dedups per doc BEFORE the shuffle (each word ships
-  with its in-doc count, so term frequency needs no second pass).
+  per-word aggregate is one mixed count/count-distinct ``groupBy`` —
+  Catalyst's distinct rewrite dedups (word, doc) in the map-side
+  partial aggregate, so the exchange carries distinct pairs plus
+  per-word count partials, never raw occurrences; the corpus text
+  itself never moves.
 * top-K is ``orderBy(...).limit(k)`` — Catalyst plans
   TakeOrderedAndProject, the two-level per-partition-then-global
   heap top-k; no full sort materializes.
 * ties break deterministically on the term string ascending, so the
   report is engine-stable and oracle-replayable.
 
-Tokenization is the shared JVM-exact split (text.JAVA_WS_RE, lowered),
-identical in the Spark expressions, the pandas kernels elsewhere, and
-the DuckDB oracles.
+Tokenization is the shared JVM-exact split (text.JAVA_WS_RE) plus
+ASCII-only case folding (text.ascii_lower — full Unicode lower() is
+engine-dependent), identical in the Spark expressions, the pandas
+kernels elsewhere, and the DuckDB oracles.
 
 Reference parity note: the reference engine has no corpus-statistics
 surface; this extends the training-data-pipeline block (SURVEY.md §2
@@ -31,7 +32,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from anomaly_detection_spark.functions.text import JAVA_WS_RE
+from anomaly_detection_spark.functions.text import (
+    JAVA_WS_RE, ascii_lower, ascii_lower_sql,
+)
 
 
 def word_stats(docs: DataFrame, *, id_col: str = "doc_id",
@@ -43,15 +46,16 @@ def word_stats(docs: DataFrame, *, id_col: str = "doc_id",
     one mixed count/count-distinct aggregate: Catalyst's distinct
     rewrite dedups (word, doc) in the MAP-SIDE partial aggregate, so
     the exchange carries distinct pairs plus per-word count partials,
-    never raw occurrences — all JVM, no interpreted array lambdas
-    (PLANS.md lesson 1: a nested transform/filter dedup here would be
-    O(words^2) on the interpreter per doc).
+    never raw occurrences — all JVM, fully codegen (the empty-token
+    filter runs as a ROW filter after the explode, not an interpreted
+    array-HOF lambda; PLANS.md lesson 1). Case folding is ASCII-only
+    (text.ascii_lower) so word keys are engine-identical.
     """
-    words = F.filter(
-        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
-                JAVA_WS_RE),
-        lambda w: w != "")
-    occ = docs.select(F.col(id_col), F.explode(words).alias("word"))
+    words = F.split(
+        F.trim(ascii_lower(F.coalesce(F.col(text_col), F.lit("")))),
+        JAVA_WS_RE)
+    occ = (docs.select(F.col(id_col), F.explode(words).alias("word"))
+           .filter(F.col("word") != ""))
     return (occ.groupBy("word")
             .agg(F.count("*").alias("count"),
                  F.countDistinct(id_col).alias("doc_freq")))
@@ -97,8 +101,9 @@ def word_stats_sql(*, docs_sql: str, id_col: str = "doc_id",
                    text_col: str = "text") -> str:
     """DuckDB twin of :func:`word_stats` (semantic form: distinct
     (doc, word) pairs with per-doc counts, then the global aggregate)."""
-    words = (f"list_filter(string_split_regex(trim(lower(coalesce("
-             f"{text_col}, ''))), '{JAVA_WS_RE}'), w -> w <> '')")
+    low = ascii_lower_sql(f"coalesce({text_col}, '')")
+    words = (f"list_filter(string_split_regex(trim({low}), "
+             f"'{JAVA_WS_RE}'), w -> w <> '')")
     return f"""
 WITH d AS ({docs_sql}),
 occ AS (

@@ -586,3 +586,29 @@ def test_vocab_plan_shape(spark):
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # heap top-k, no full sort
     assert "BatchEvalPython" not in plan    # zero Python
+
+
+def test_ascii_fold_is_engine_identical_on_unicode_case(spark):
+    """Full Unicode lower() diverges cross-engine (Spark 'İ'->'i'+U+0307,
+    DuckDB 'İ'->'i'; final sigma differs too), so word/gram keys use
+    ASCII-only folding — this pins all three implementations (JVM
+    expression, pandas kernel, DuckDB SQL) byte-identical on the
+    divergence-triggering inputs."""
+    import duckdb
+
+    from anomaly_detection_spark.functions.text import (
+        ASCII_LOWER_TABLE, ascii_lower, ascii_lower_sql,
+    )
+    from anomaly_detection_spark.functions.vocab import word_stats
+
+    s = "İstanbul ΣΣ ABC tail"
+    df = spark.createDataFrame([(0, s)], "doc_id bigint, text string")
+    jvm = df.select(ascii_lower(F.col("text")).alias("t")).collect()[0]["t"]
+    py = s.translate(ASCII_LOWER_TABLE)
+    con = duckdb.connect()
+    sql = con.execute(f"SELECT {ascii_lower_sql(repr(s))}").fetchone()[0]
+    assert jvm == py == sql == "İstanbul ΣΣ abc tail"
+    # and the vocab keys survive the round trip: non-ASCII case is
+    # content, ASCII folds
+    words = {r["word"] for r in word_stats(df).collect()}
+    assert words == {"İstanbul", "ΣΣ", "abc", "tail"}
